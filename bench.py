@@ -1,0 +1,58 @@
+"""Benchmark: eval-forward throughput (scenes/sec/chip) of the flagship
+VoteNet-Nesie model on ScanNet-shaped inputs (B x 40000 x 4).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is reported against the driver's 3x-vs-A100 north star once a
+reference measurement exists; until then it is null.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nesie_tpu.nn.detector import VoteNetNesie
+
+    batch = 8
+    model = VoteNetNesie()
+    rng = jax.random.PRNGKey(0)
+    points = jax.random.uniform(rng, (batch, 40000, 4), jnp.float32)
+    variables = model.init({"params": rng}, points[:1], "seed", rng, train=False)
+
+    @jax.jit
+    def forward(pts):
+        out = model.apply(variables, pts, "seed", jax.random.PRNGKey(1), train=False)
+        return out["bbox_preds"], out["obj_scores"], out["iou_scores"]
+
+    # warmup / compile
+    jax.block_until_ready(forward(points))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(points)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scenes/sec/chip eval forward (ScanNet 40k pts)",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

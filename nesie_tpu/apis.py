@@ -1,0 +1,77 @@
+"""High-level inference API (reference mmdet3d/apis/inference.py:35,72).
+
+``init_detector`` builds a model + restores weights;
+``inference_detector`` runs one point cloud (.bin / .npy / array) through
+the full pipeline and returns detected boxes.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nesie_tpu.config import ExperimentConfig, get_config
+from nesie_tpu.data import io
+from nesie_tpu.eval.postprocess import decode_and_nms, expand_per_class
+
+
+class Detector:
+    def __init__(self, cfg: ExperimentConfig, state, model):
+        self.cfg = cfg
+        self.state = state
+        self.model = model
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    def __call__(self, points):
+        """points: (N, >=3) numpy array or path to .bin/.npy.
+
+        Returns dict(boxes_3d (S, 7) gravity-centered, scores_3d, labels_3d).
+        """
+        if isinstance(points, (str, Path)):
+            p = Path(points)
+            if p.suffix == ".npy":
+                points = np.load(p)[:, :3]
+            else:
+                points = io.load_points_bin(p)
+        pts = io.add_height(np.asarray(points, np.float32)[:, :3])
+        rng = np.random.default_rng(self.cfg.seed)
+        pts = io.sample_points(pts, self.cfg.data.num_points, rng)[None]
+
+        self._key, sub = jax.random.split(self._key)
+        out = self.model.apply(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            jnp.asarray(pts),
+            self.cfg.test.sample_mod,
+            sub,
+            train=False,
+        )
+        decoded = decode_and_nms(
+            out,
+            jnp.asarray(pts),
+            nms_thr=self.cfg.test.nms_thr,
+            score_thr=self.cfg.test.score_thr,
+            use_iou_for_nms=self.cfg.test.use_iou_for_nms,
+        )
+        decoded = jax.tree.map(lambda x: np.asarray(x)[0], decoded)
+        boxes, scores, labels = expand_per_class(decoded)
+        return dict(boxes_3d=boxes, scores_3d=scores, labels_3d=labels)
+
+
+def init_detector(config_name: str, checkpoint_dir=None) -> Detector:
+    from nesie_tpu.train import runner
+    from nesie_tpu.train.runner import CheckpointManager
+
+    cfg = get_config(config_name)
+    model = runner.build_model(cfg)
+    state, _ = runner.init_state(cfg, model, steps_per_epoch=1)
+    if checkpoint_dir is not None:
+        mgr = CheckpointManager(Path(checkpoint_dir).parent)
+        state, _, _ = mgr.restore(state)
+    return Detector(cfg, state, model)
+
+
+def inference_detector(detector: Detector, points):
+    return detector(points)

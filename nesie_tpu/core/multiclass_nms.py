@@ -1,0 +1,98 @@
+"""Multi-class BEV-rotated NMS (reference
+mmdet3d/core/post_processing/box3d_nms.py:8 ``box3d_multiclass_nms``):
+per-class score thresholding + rotated NMS, used by anchor-based heads.
+Provided for capability parity with the reference's post-processing stack
+(the Nesie eval path uses aligned_3d_nms instead).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .iou import bev_corners, rotated_intersection_area_2d
+
+
+def _rotated_iou_matrix(boxes5, eps=1e-8):
+    """(N, 5) xywhr -> (N, N) BEV IoU via pairwise polygon clipping."""
+    n = boxes5.shape[0]
+    c = bev_corners(boxes5)
+    c1 = jnp.repeat(c[:, None], n, axis=1)  # (N, N, 4, 2)
+    c2 = jnp.repeat(c[None, :], n, axis=0)
+    inter = rotated_intersection_area_2d(
+        c1.reshape(n * n, 4, 2), c2.reshape(n * n, 4, 2)
+    ).reshape(n, n)
+    area = boxes5[:, 2] * boxes5[:, 3]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, eps)
+
+
+def nms_bev_rotated(boxes5, scores, thresh: float, valid_mask=None):
+    """Greedy rotated-BEV NMS keep mask (reference iou3d nms_gpu analog)."""
+    n = boxes5.shape[0]
+    iou = _rotated_iou_matrix(boxes5)
+    alive = jnp.ones((n,), bool) if valid_mask is None else valid_mask
+    keep = jnp.zeros((n,), bool)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        alive, keep = state
+        i = jnp.argmax(jnp.where(alive, scores, neg_inf))
+        keep = keep.at[i].set(True)
+        alive = alive & ~(iou[i] > thresh)
+        alive = alive.at[i].set(False)
+        return alive, keep
+
+    return jax.lax.while_loop(cond, body, (alive, keep))[1]
+
+
+def box3d_multiclass_nms(
+    boxes7,
+    scores,
+    score_thr: float,
+    nms_thr: float,
+    max_num: int,
+):
+    """Multi-class rotated NMS with static output size.
+
+    Args:
+        boxes7: (P, 7) gravity-centered boxes.
+        scores: (P, C+1) class scores (last column = background, as in the
+            reference's mlvl_scores convention).
+    Returns:
+        (boxes (max_num, 7), scores (max_num,), labels (max_num,),
+         valid (max_num,)) — padded with zeros.
+    """
+    P, C1 = scores.shape
+    C = C1 - 1
+    bev = boxes7[:, jnp.array([0, 1, 3, 4, 6])]
+
+    all_scores = []
+    all_labels = []
+    all_keep = []
+    for k in range(C):
+        s = scores[:, k]
+        valid = s > score_thr
+        keep = nms_bev_rotated(bev, s, nms_thr, valid_mask=valid)
+        all_scores.append(jnp.where(keep, s, -jnp.inf))
+        all_labels.append(jnp.full((P,), k, jnp.int32))
+        all_keep.append(keep)
+
+    flat_scores = jnp.concatenate(all_scores)
+    flat_labels = jnp.concatenate(all_labels)
+    flat_keep = jnp.concatenate(all_keep)
+    flat_boxes = jnp.tile(boxes7, (C, 1))
+
+    top_scores, idx = jax.lax.top_k(flat_scores, max_num)
+    out_boxes = flat_boxes[idx]
+    out_labels = flat_labels[idx]
+    out_valid = flat_keep[idx] & jnp.isfinite(top_scores)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    return (
+        out_boxes * out_valid[:, None],
+        out_scores,
+        out_labels * out_valid,
+        out_valid,
+    )

@@ -1,0 +1,92 @@
+"""Shared neural layers (flax.linen), channels-last.
+
+Every 1x1 Conv1d/Conv2d in the reference is a per-point matmul, so here
+they are ``nn.Dense`` over the trailing channel dim — which XLA maps
+straight onto the MXU with the batch/point dims as rows.
+
+BatchNorm note: under jit with a data-sharded mesh, the batch mean/var are
+*global* (single-program semantics), so data-parallel training gets the
+reference's opt-in NaiveSyncBatchNorm (reference mmdet3d/ops/norm.py)
+behavior for free.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class PointMLP(nn.Module):
+    """Dense(+BN+ReLU) stack matching torch ConvModule chains.
+
+    Args:
+        channels: output width per layer.
+        final_activation: apply BN+ReLU after the last layer too (torch
+            ConvModule stacks do; prediction convs don't).
+        norm: "bn" | "gn" | "none".
+        bias: dense bias. Torch ConvModule's bias='auto' means no bias when
+            a norm follows.
+    """
+
+    channels: Sequence[int]
+    final_activation: bool = True
+    norm: str = "bn"
+    gn_groups: int = 32
+    bias: str | bool = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.channels)
+        for i, c in enumerate(self.channels):
+            last = i == n - 1
+            normed = self.final_activation or not last
+            if self.bias == "auto":
+                use_bias = not (normed and self.norm != "none")
+            else:
+                use_bias = bool(self.bias)
+            x = nn.Dense(c, use_bias=use_bias, name=f"dense{i}")(x)
+            if normed:
+                if self.norm == "bn":
+                    x = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9,
+                        epsilon=1e-5,
+                        name=f"norm{i}",
+                    )(x)
+                elif self.norm == "gn":
+                    x = nn.GroupNorm(num_groups=self.gn_groups, name=f"norm{i}")(x)
+                x = nn.relu(x)
+        return x
+
+
+class MiniPointNet(nn.Module):
+    """PointNet over grouped grid points with a global-max skip.
+
+    Mirrors the reference quality-module MiniPointNet
+    (side_pooling_module.py:343): conv->BN->ReLU->conv, concat per-group
+    max, conv->BN->ReLU->conv, final max over the group dim.
+
+    Input (B, K, N, C) -> output (B, K, feature_dim).
+    """
+
+    feature_dim: int = 128
+    hide_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Dense(self.hide_dim, use_bias=False, name="first0")(x)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0"
+        )(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hide_dim // 2, name="first1")(h)
+        g = jnp.max(h, axis=-2, keepdims=True)  # (B, K, 1, hide/2)
+        h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
+        h = nn.Dense(self.hide_dim, use_bias=False, name="second0")(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+        )(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.feature_dim, name="second1")(h)
+        return jnp.max(h, axis=-2)  # (B, K, feature_dim)

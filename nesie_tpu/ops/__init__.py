@@ -1,0 +1,21 @@
+from .pointops import (
+    square_distance,
+    furthest_point_sample,
+    ball_query,
+    gather_points,
+    group_points,
+    three_nn,
+    three_interpolate,
+    knn,
+)
+
+__all__ = [
+    "square_distance",
+    "furthest_point_sample",
+    "ball_query",
+    "gather_points",
+    "group_points",
+    "three_nn",
+    "three_interpolate",
+    "knn",
+]

@@ -1,0 +1,240 @@
+"""Point-cloud neighborhood ops, XLA-native with static shapes.
+
+TPU replacements for the reference's CUDA kernels under
+reference mmdet3d/ops/ (furthest_point_sample, ball_query, group_points,
+gather_points, three_nn, three_interpolate, knn). Semantics are matched op
+by op (documented per function); layout is channels-last ``(B, N, C)``
+throughout — the TPU-friendly choice, vs. the reference's ``(B, C, N)``.
+
+The big distance computations are chunked over the query dimension so peak
+memory stays bounded on 40k-point scenes; distances use a matmul form
+(|a|^2 + |b|^2 - 2ab) that rides the MXU.
+
+Gradient-carrying ops (gather/group/interpolate) are pure gathers, so XLA
+autodiff provides the scatter-add backward the reference implements by
+hand (group_points.py:126-145).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pick_chunk(m: int, target: int) -> int:
+    """Largest divisor of m that is <= target (>=1)."""
+    c = min(m, target)
+    while m % c:
+        c -= 1
+    return c
+
+
+def square_distance(a, b):
+    """Pairwise squared euclidean distance.
+
+    Args:
+        a: (..., M, 3); b: (..., N, 3).
+    Returns:
+        (..., M, N) float32. May be slightly negative for coincident points
+        due to the matmul formulation; callers clamp where it matters.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    # full-f32 MXU precision: neighbor membership at the radius boundary
+    # must not depend on bf16 rounding
+    ab = jnp.einsum(
+        "...mc,...nc->...mn", a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return a2 + b2 - 2.0 * ab
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling
+# ---------------------------------------------------------------------------
+
+def furthest_point_sample(xyz, num_samples: int, valid_mask=None):
+    """Iterative D-FPS, mirroring the reference CUDA kernel's schedule
+    (furthest_point_sample_cuda.cu:26): start from index 0, then repeatedly
+    pick the point with max distance-to-selected-set.
+
+    Args:
+        xyz: (B, N, 3).
+        num_samples: M, static.
+        valid_mask: optional (B, N) bool; invalid points are never selected
+            (use for padded clouds; the reference has no padding).
+    Returns:
+        (B, M) int32 indices.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    dists = jnp.full((B, N), 1e10, jnp.float32)
+    if valid_mask is not None:
+        dists = jnp.where(valid_mask, dists, -jnp.inf)
+    idxs = jnp.zeros((B, num_samples), jnp.int32)
+    last = jnp.zeros((B,), jnp.int32)
+
+    def body(i, state):
+        dists, idxs, last = state
+        lastp = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((xyz - lastp) ** 2, axis=-1)
+        dists = jnp.minimum(dists, d)
+        nxt = jnp.argmax(dists, axis=-1).astype(jnp.int32)
+        idxs = idxs.at[:, i].set(nxt)
+        return dists, idxs, nxt
+
+    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, (dists, idxs, last))
+    return idxs
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+def ball_query(
+    xyz,
+    centers,
+    radius: float,
+    num_samples: int,
+    min_radius: float = 0.0,
+    valid_mask=None,
+    chunk_target: int = 256,
+):
+    """Fixed-radius neighbor search with the reference's exact fill rule.
+
+    Reference semantics (ball_query_cuda.cu:36-53): for each center, scan
+    source points in index order; the first ``num_samples`` in-radius points
+    fill the slots, and every remaining slot holds the *first* in-range
+    index. Centers with no in-range point return all zeros (the reference's
+    zero-initialized output buffer). A point at distance exactly 0 always
+    qualifies even below ``min_radius``.
+
+    Args:
+        xyz: (B, N, 3) source points.
+        centers: (B, M, 3) query centers.
+        valid_mask: optional (B, N) bool for padded sources.
+    Returns:
+        (B, M, num_samples) int32 indices into N.
+    """
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    max_r2 = radius * radius
+    min_r2 = min_radius * min_radius
+    sentinel = jnp.int32(N)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    chunk = _pick_chunk(M, chunk_target)
+
+    def one_chunk(c):  # c: (B, chunk, 3)
+        d2 = square_distance(c, xyz)  # (B, chunk, N)
+        ok = (d2 >= min_r2) & (d2 < max_r2)
+        ok = ok | (d2 <= 0.0)  # exact-duplicate rule (d2==0 in the kernel)
+        if valid_mask is not None:
+            ok = ok & valid_mask[:, None, :]
+        key = jnp.where(ok, iota, sentinel)
+        # smallest K keys == first K valid indices, ascending
+        neg_topk, _ = jax.lax.top_k(-key, num_samples)
+        idx = -neg_topk  # (B, chunk, K) ascending
+        first = idx[..., :1]
+        idx = jnp.where(idx == sentinel, first, idx)
+        idx = jnp.where(first == sentinel, 0, idx)  # no neighbor at all
+        return idx
+
+    chunks = centers.reshape(B, M // chunk, chunk, 3).swapaxes(0, 1)
+    out = jax.lax.map(one_chunk, chunks)  # (M/chunk, B, chunk, K)
+    return out.swapaxes(0, 1).reshape(B, M, num_samples)
+
+
+# ---------------------------------------------------------------------------
+# Gather / group
+# ---------------------------------------------------------------------------
+
+def gather_points(data, idx):
+    """Gather rows: data (B, N, C), idx (B, M) -> (B, M, C).
+
+    Equivalent of reference ``gather_points`` (channels-last); backward is
+    XLA's scatter-add via autodiff.
+    """
+    return jnp.take_along_axis(data, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(data, idx):
+    """Grouped gather: data (B, N, C), idx (B, M, K) -> (B, M, K, C)."""
+    B, N, C = data.shape
+    M, K = idx.shape[1:]
+    flat = jnp.take_along_axis(
+        data, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1
+    )
+    return flat.reshape(B, M, K, C)
+
+
+# ---------------------------------------------------------------------------
+# Three-NN interpolation
+# ---------------------------------------------------------------------------
+
+def three_nn(query, source, valid_mask=None, chunk_target: int = 1024):
+    """3 nearest source points per query, ascending by distance.
+
+    Matches reference ``three_nn`` (three_nn_cuda.cu): returns *euclidean*
+    distances and indices.
+
+    Args:
+        query: (B, M, 3); source: (B, N, 3).
+    Returns:
+        dist: (B, M, 3) float32; idx: (B, M, 3) int32.
+    """
+    B, N, _ = source.shape
+    M = query.shape[1]
+    chunk = _pick_chunk(M, chunk_target)
+
+    def one_chunk(q):
+        d2 = square_distance(q, source)  # (B, chunk, N)
+        d2 = jnp.maximum(d2, 0.0)
+        if valid_mask is not None:
+            d2 = jnp.where(valid_mask[:, None, :], d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2, 3)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+    chunks = query.reshape(B, M // chunk, chunk, 3).swapaxes(0, 1)
+    dist, idx = jax.lax.map(one_chunk, chunks)
+    return (
+        dist.swapaxes(0, 1).reshape(B, M, 3),
+        idx.swapaxes(0, 1).reshape(B, M, 3),
+    )
+
+
+def three_interpolate(feats, idx, weight):
+    """Weighted sum of 3 gathered feature rows.
+
+    Args:
+        feats: (B, N, C); idx: (B, M, 3) int32; weight: (B, M, 3).
+    Returns:
+        (B, M, C).
+    """
+    gathered = group_points(feats, idx)  # (B, M, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def knn(k: int, source, query, valid_mask=None, chunk_target: int = 1024):
+    """k nearest source points per query, ascending (reference knn op).
+
+    Returns:
+        idx: (B, M, k) int32.
+    """
+    B, N, _ = source.shape
+    M = query.shape[1]
+    chunk = _pick_chunk(M, chunk_target)
+
+    def one_chunk(q):
+        d2 = jnp.maximum(square_distance(q, source), 0.0)
+        if valid_mask is not None:
+            d2 = jnp.where(valid_mask[:, None, :], d2, jnp.inf)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32)
+
+    chunks = query.reshape(B, M // chunk, chunk, 3).swapaxes(0, 1)
+    idx = jax.lax.map(one_chunk, chunks)
+    return idx.swapaxes(0, 1).reshape(B, M, k)

@@ -1,0 +1,208 @@
+"""Training runner: epoch loop, logging, orbax checkpointing.
+
+Replaces the reference's mmcv EpochBasedRunner / SimiEpochBasedRunner
+(mmdet3d/runner/simi_epoch_based_runner.py) + hook machinery with a plain
+loop around jitted steps. Checkpoints hold the full TrainState pytree
+(params + ema teacher + optimizer + step), the JAX equivalent of the
+reference's paired ``epoch_N.pth`` / ``epoch_N_ema.pth`` files.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from nesie_tpu.config import ExperimentConfig
+from nesie_tpu.data.dataset import AugConfig, SimiScanNetScenes, SubScanNetScenes
+from nesie_tpu.nn.detector import VoteNetNesie
+from nesie_tpu.train.semi import UlbState, make_semi_train_step
+from nesie_tpu.train.state import (
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from nesie_tpu.train.step import make_supervised_train_step
+
+log = logging.getLogger("nesie_tpu")
+
+
+def build_model(cfg: ExperimentConfig) -> VoteNetNesie:
+    m = cfg.model
+    return VoteNetNesie(
+        num_classes=m.num_classes,
+        reg_max=m.reg_max,
+        num_proposal=m.num_proposal,
+        in_channels=m.in_channels,
+        dataset_name=m.dataset_name,
+        sizes=tuple(m.sizes),
+        num_points=tuple(m.num_points),
+        radii=tuple(m.radii),
+        num_samples=tuple(m.num_samples),
+        sa_channels=tuple(map(tuple, m.sa_channels)),
+        fp_channels=tuple(map(tuple, m.fp_channels)),
+        jitter_scale=m.jitter_scale,
+        jitter_size_bias=m.jitter_size_bias,
+        head=m.head,
+    )
+
+
+def strong_aug_config(cfg: ExperimentConfig) -> AugConfig:
+    return AugConfig(
+        rot_range=cfg.data.aug_rot_range,
+        scale_range=tuple(cfg.data.aug_scale_range),
+        translation_std=cfg.data.aug_translation_std,
+    )
+
+
+def init_state(cfg: ExperimentConfig, model, steps_per_epoch: int):
+    rng = jax.random.PRNGKey(cfg.seed)
+    n_in = cfg.model.in_channels
+    dummy = jax.random.uniform(rng, (1, 1024, n_in), jnp.float32)
+    variables = model.init({"params": rng}, dummy, "vote", rng, train=False)
+    lr = make_lr_schedule(
+        cfg.optim.lr, steps_per_epoch, cfg.optim.lr_milestones, cfg.optim.lr_gamma
+    )
+    tx = make_optimizer(lr, cfg.optim.weight_decay, cfg.optim.grad_clip_norm)
+    return create_train_state(variables, tx), tx
+
+
+class CheckpointManager:
+    def __init__(self, work_dir, max_to_keep: int = 3):
+        path = Path(work_dir).absolute() / "checkpoints"
+        self.mgr = ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+        )
+
+    def save(self, step: int, state, ulb_state=None):
+        payload = {"state": state}
+        if ulb_state is not None:
+            payload["ulb_state"] = ulb_state
+        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+
+    def restore(self, state, ulb_state=None, step=None):
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return state, ulb_state, 0
+        target = {"state": state}
+        if ulb_state is not None:
+            target["ulb_state"] = ulb_state
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return restored["state"], restored.get("ulb_state", ulb_state), step
+
+
+def _log_metrics(step, epoch, metrics, t_step):
+    vals = {k: float(v) for k, v in metrics.items()}
+    msg = ", ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items()))
+    log.info("epoch %d step %d (%.2fs/it): %s", epoch, step, t_step, msg)
+
+
+def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
+                     load_state=None):
+    """Supervised pretrain loop (reference VoteNet phase, votenet.py:27)."""
+    bs = cfg.data.samples_per_step
+    n = len(dataset)
+    steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
+    model = build_model(cfg)
+    state, tx = init_state(cfg, model, steps_per_epoch)
+    if load_state is not None:
+        state = load_state
+    step_fn = make_supervised_train_step(
+        model,
+        tx,
+        cfg.loss,
+        cfg.sample_mod_train,
+        cfg.ema_momentum,
+        cfg.ema_warm_up,
+        cfg.pos_distance_thr,
+        cfg.neg_distance_thr,
+        head=cfg.model.head,
+    )
+    ckpt = CheckpointManager(Path(cfg.work_dir) / cfg.name)
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(cfg.optim.max_epochs):
+        order = np.concatenate(
+            [rng.permutation(n) for _ in range(cfg.data.repeat)]
+        )
+        for it in range(steps_per_epoch):
+            idx = order[it * bs : (it + 1) * bs]
+            if len(idx) < bs:
+                break
+            batch = dataset.train_batch(
+                idx, rng, aug_cfg=strong_aug_config(cfg),
+                num_points=cfg.data.num_points,
+            )
+            batch.pop("scene_ids", None)
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, batch, sub)
+            if it % cfg.log_interval == 0:
+                jax.block_until_ready(metrics["loss"])
+                _log_metrics(int(state.step), epoch, metrics,
+                             time.perf_counter() - t0)
+        if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
+            ckpt.save(int(state.step), state)
+    return state
+
+
+def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
+               load_state=None):
+    """Semi-supervised loop (reference SimiEpochBasedRunner +
+    VoteNetNesie.forward_train)."""
+    bs = cfg.data.samples_per_step
+    n = dataset.num_labeled
+    steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
+    model = build_model(cfg)
+    state, tx = init_state(cfg, model, steps_per_epoch)
+    if load_state is not None:
+        state = load_state
+    step_fn = make_semi_train_step(
+        model,
+        tx,
+        n_labeled=bs,
+        num_labeled_scans=dataset.num_labeled,
+        loss_cfg=cfg.loss,
+        pl_cfg=cfg.pseudo,
+        sample_mod=cfg.sample_mod_train,
+        ema_momentum=cfg.ema_momentum,
+        ema_warm_up=cfg.ema_warm_up,
+        un_label_weight=cfg.un_label_weight,
+        pos_distance_thr=cfg.pos_distance_thr,
+        neg_distance_thr=cfg.neg_distance_thr,
+        head=cfg.model.head,
+    )
+    ulb_state = UlbState.create(dataset.num_unlabeled, cfg.model.num_classes)
+    ckpt = CheckpointManager(Path(cfg.work_dir) / cfg.name)
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(cfg.optim.max_epochs):
+        order = np.concatenate(
+            [rng.permutation(n) for _ in range(cfg.data.repeat)]
+        )
+        for it in range(steps_per_epoch):
+            idx = order[it * bs : (it + 1) * bs]
+            if len(idx) < bs:
+                break
+            batch = dataset.semi_batch(
+                idx, rng, strong_cfg=strong_aug_config(cfg),
+                num_points=cfg.data.num_points,
+            )
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, ulb_state, metrics = step_fn(state, ulb_state, batch, sub)
+            if it % cfg.log_interval == 0:
+                jax.block_until_ready(metrics["loss"])
+                _log_metrics(int(state.step), epoch, metrics,
+                             time.perf_counter() - t0)
+        if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
+            ckpt.save(int(state.step), state, ulb_state)
+    return state

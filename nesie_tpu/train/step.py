@@ -1,0 +1,116 @@
+"""Jitted train/eval steps (supervised path; semi-supervised in semi.py)."""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState, ema_update
+from .sup_loss import NesieLossConfig, nesie_supervised_loss
+from .targets import get_targets
+
+
+def make_supervised_train_step(
+    model,
+    tx,
+    loss_cfg: NesieLossConfig = NesieLossConfig(),
+    sample_mod: str = "vote",
+    ema_momentum: float = 1e-3,
+    ema_warm_up: float = 10.0,
+    pos_distance_thr: float = 0.3,
+    neg_distance_thr: float = 0.6,
+    head: str = "nesie",
+):
+    """Build the jitted supervised step.
+
+    Batch layout: dict with points (B, N, C_in), gt_boxes (B, MAX_GT, 7)
+    bottom-centered, gt_labels (B, MAX_GT) int32, gt_valid (B, MAX_GT) bool,
+    and optionally ``aug`` (AugParams, applied on device to points + GT).
+    """
+    from nesie_tpu.data.augment import augment_boxes, augment_points
+
+    if head == "saqe":
+        from .saqe_loss import SAQELossConfig, saqe_supervised_loss
+
+        saqe_cfg = (
+            loss_cfg
+            if isinstance(loss_cfg, SAQELossConfig)
+            else SAQELossConfig(num_classes=loss_cfg.num_classes)
+        )
+
+        def sup_loss_fn(out, targets):
+            return saqe_supervised_loss(out, targets, saqe_cfg, phase="pretrain")
+
+    else:
+
+        def sup_loss_fn(out, targets):
+            return nesie_supervised_loss(out, targets, loss_cfg)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        if "aug" in batch:
+            batch = dict(batch)
+            batch["points"] = augment_points(
+                batch["points"], batch["aug"], shift_height=True
+            )
+            batch["gt_boxes"] = augment_boxes(batch["gt_boxes"], batch["aug"])
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["points"],
+            sample_mod,
+            rng,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        targets = get_targets(
+            batch["points"][..., :3],
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            batch["gt_valid"],
+            out["aggregated_points"],
+            pos_distance_thr=pos_distance_thr,
+            neg_distance_thr=neg_distance_thr,
+            gt_per_seed=loss_cfg.gt_per_seed,
+        )
+        total, terms = sup_loss_fn(out, targets)
+        return total, (terms, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        (total, (terms, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        new_state = ema_update(new_state, ema_momentum, ema_warm_up)
+        metrics = dict(terms)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_forward(model, sample_mod: str = "seed", use_teacher: bool = False):
+    """Jitted eval forward returning the head results dict."""
+
+    @jax.jit
+    def forward(state: TrainState, points, rng):
+        params = state.ema_params if use_teacher else state.params
+        bs = state.ema_batch_stats if use_teacher else state.batch_stats
+        return model.apply(
+            {"params": params, "batch_stats": bs},
+            points,
+            sample_mod,
+            rng,
+            train=False,
+        )
+
+    return forward

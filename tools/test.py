@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference test.py equivalent): run the detector over the
+val split and report indoor mAP@0.25/0.5."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a nesie_tpu detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="orbax checkpoint dir")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=9)
+    p.add_argument("--teacher", action="store_true",
+                   help="evaluate the EMA teacher weights")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from nesie_tpu.config import apply_overrides, get_config
+    from nesie_tpu.data.dataset import ScanNetScenes
+    from nesie_tpu.data.scannet_meta import CLASS_NAMES
+    from nesie_tpu.eval import decode_and_nms, indoor_eval
+    from nesie_tpu.eval.postprocess import expand_per_class
+    from nesie_tpu.train import runner
+    from nesie_tpu.train.runner import CheckpointManager
+    from nesie_tpu.train.step import make_eval_forward
+
+    cfg = get_config(args.config)
+    cfg = apply_overrides(cfg, args.cfg_options)
+
+    root = Path(args.data_root)
+    ds = ScanNetScenes(root, root / cfg.data.val_ann_file)
+    model = runner.build_model(cfg)
+    state, _ = runner.init_state(cfg, model, steps_per_epoch=1)
+    mgr = CheckpointManager(Path(args.checkpoint).parent)
+    state, _, step = mgr.restore(state)
+    logging.info("restored step %d", step)
+
+    fwd = make_eval_forward(model, cfg.test.sample_mod, use_teacher=args.teacher)
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    gt_annos, dt_annos = [], []
+    bs = args.batch_size
+    n = len(ds)
+    for start in range(0, n - n % bs, bs):
+        idx = list(range(start, start + bs))
+        batch = ds.eval_batch(idx, rng, cfg.data.num_points)
+        key, sub = jax.random.split(key)
+        out = fwd(state, batch["points"], sub)
+        decoded = decode_and_nms(
+            out, batch["points"],
+            nms_thr=cfg.test.nms_thr,
+            score_thr=cfg.test.score_thr,
+            use_iou_for_nms=cfg.test.use_iou_for_nms,
+        )
+        decoded = jax.tree.map(np.asarray, decoded)
+        for b in range(bs):
+            boxes, scores, labels = expand_per_class(
+                {k: v[b] for k, v in decoded.items()}
+            )
+            dt_annos.append(dict(boxes=boxes, scores=scores, labels=labels))
+            gb = batch["gt_boxes"][b][batch["gt_valid"][b]]
+            gb = gb.copy()
+            gb[:, 2] += gb[:, 5] / 2  # bottom -> gravity center
+            gt_annos.append(dict(boxes=gb, labels=batch["gt_labels"][b][batch["gt_valid"][b]]))
+        logging.info("evaluated %d/%d scenes", start + bs, n)
+
+    results = indoor_eval(gt_annos, dt_annos, class_names=list(CLASS_NAMES))
+    for k in sorted(results):
+        if k.startswith("mAP") or k.startswith("mAR"):
+            print(f"{k}: {results[k]:.4f}")
+    print({k: round(v, 4) for k, v in results.items() if "_AP_" in k})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Training CLI (reference train.py equivalent).
+
+Examples:
+    python tools/train.py nesie-votenet-scannet-pretrain-010 \
+        --data-root /data/scannet
+    python tools/train.py nesie-votenet-scannet-train-010 \
+        --data-root /data/scannet --load-from work_dirs/.../checkpoints
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a nesie_tpu detector")
+    p.add_argument("config", help="named config, e.g. nesie-votenet-scannet-train-010")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--work-dir", default="work_dirs")
+    p.add_argument("--load-from", default=None,
+                   help="checkpoint dir to initialize from (pretrain ckpt)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) — overrides any "
+                        "site-level jax_platforms setting")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dot-path overrides, e.g. optim.lr=0.004")
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from nesie_tpu.config import apply_overrides, get_config
+    from nesie_tpu.data.dataset import SimiScanNetScenes, SubScanNetScenes
+    from nesie_tpu.train import runner
+
+    cfg = get_config(args.config)
+    cfg = dataclasses.replace(cfg, seed=args.seed, work_dir=args.work_dir)
+    cfg = apply_overrides(cfg, args.cfg_options)
+
+    root = Path(args.data_root)
+    ann = root / cfg.data.train_ann_file
+    split = root / cfg.data.label_list_file
+
+    load_state = None
+    if args.load_from:
+        import jax
+        from nesie_tpu.train.runner import CheckpointManager, build_model, init_state
+
+        model = runner.build_model(cfg)
+        state, _ = runner.init_state(cfg, model, steps_per_epoch=1)
+        mgr = CheckpointManager(Path(args.load_from).parent)
+        load_state, _, step = mgr.restore(state)
+        logging.info("loaded checkpoint at step %d from %s", step, args.load_from)
+
+    if cfg.mode == "pretrain":
+        ds = SubScanNetScenes(root, ann, split)
+        runner.train_supervised(cfg, ds, load_state)
+    else:
+        ds = SimiScanNetScenes(root, ann, split, ratio=cfg.data.unlabeled_ratio)
+        runner.train_semi(cfg, ds, load_state)
+
+
+if __name__ == "__main__":
+    main()
