@@ -60,6 +60,22 @@ class PointMLP(nn.Module):
         return x
 
 
+class SyncBatchNorm(nn.BatchNorm):
+    """Cross-replica BatchNorm (reference NaiveSyncBatchNorm1d/2d,
+    mmdet3d/ops/norm.py:9-133).
+
+    Under jit with a data-sharded mesh, plain BatchNorm is already globally
+    synced (single-program semantics). This explicit variant exists for
+    shard_map/pmap contexts where each program sees only its shard — set
+    ``axis_name`` to the mapped axis and the mean/var reduce across it.
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: str | None = "dp"
+
+
 class MiniPointNet(nn.Module):
     """PointNet over grouped grid points with a global-max skip.
 

@@ -40,7 +40,6 @@ def main():
 
     from nesie_tpu.config import apply_overrides, get_config
     from nesie_tpu.data.dataset import ScanNetScenes
-    from nesie_tpu.data.scannet_meta import CLASS_NAMES
     from nesie_tpu.eval import decode_and_nms, indoor_eval
     from nesie_tpu.eval.postprocess import expand_per_class
     from nesie_tpu.train import runner
@@ -49,6 +48,11 @@ def main():
 
     cfg = get_config(args.config)
     cfg = apply_overrides(cfg, args.cfg_options)
+
+    if cfg.model.dataset_name == "SUNRGBD":
+        from nesie_tpu.data.sunrgbd_prep import CLASS_NAMES
+    else:
+        from nesie_tpu.data.scannet_meta import CLASS_NAMES
 
     root = Path(args.data_root)
     ds = ScanNetScenes(root, root / cfg.data.val_ann_file)
