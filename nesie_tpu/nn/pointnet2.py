@@ -85,6 +85,50 @@ class PointSAModule(nn.Module):
         return new_xyz, out, indices
 
 
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference PointSAModuleMSG,
+    point_sa_module.py:215): one FPS sample set, several ball-query scales,
+    concatenated pooled features."""
+
+    num_point: int
+    radii: Sequence[float]
+    sample_nums: Sequence[int]
+    mlp_channels: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    normalize_xyz: bool = True
+    pool: str = "max"
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False, indices=None,
+                 target_xyz=None):
+        if target_xyz is not None:
+            new_xyz = target_xyz
+        else:
+            if indices is None:
+                indices = furthest_point_sample(xyz, self.num_point)
+            new_xyz = gather_points(xyz, indices)
+
+        outs = []
+        for i, (radius, k) in enumerate(zip(self.radii, self.sample_nums)):
+            idx = ball_query(xyz, new_xyz, radius, k)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / radius
+            if features is not None:
+                grouped = group_points(features, idx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+            else:
+                grouped = grouped_xyz
+            out = PointMLP(self.mlp_channels[i], name=f"mlp{i}")(
+                grouped, train=train
+            )
+            outs.append(
+                jnp.max(out, axis=2) if self.pool == "max" else jnp.mean(out, axis=2)
+            )
+        return new_xyz, jnp.concatenate(outs, axis=-1), indices
+
+
 class PointFPModule(nn.Module):
     """Feature propagation: 3-NN inverse-distance interpolation + MLP."""
 

@@ -104,8 +104,10 @@ def _log_metrics(step, epoch, metrics, t_step):
 
 
 def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
-                     load_state=None):
+                     load_state=None, resume: bool = False):
     """Supervised pretrain loop (reference VoteNet phase, votenet.py:27)."""
+    from nesie_tpu.utils import MetricsLogger, collect_env
+
     bs = cfg.data.samples_per_step
     n = len(dataset)
     steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
@@ -124,11 +126,18 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
         cfg.neg_distance_thr,
         head=cfg.model.head,
     )
-    ckpt = CheckpointManager(Path(cfg.work_dir) / cfg.name)
+    work = Path(cfg.work_dir) / cfg.name
+    ckpt = CheckpointManager(work)
+    if resume:
+        state, _, at = ckpt.restore(state)
+        log.info("resumed from step %d", at)
+    mlog = MetricsLogger(work)
+    log.info("env: %s", collect_env())
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
-    for epoch in range(cfg.optim.max_epochs):
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
             [rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
@@ -148,15 +157,19 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
                 jax.block_until_ready(metrics["loss"])
                 _log_metrics(int(state.step), epoch, metrics,
                              time.perf_counter() - t0)
+                mlog.log(int(state.step), metrics)
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
             ckpt.save(int(state.step), state)
+    mlog.close()
     return state
 
 
 def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
-               load_state=None):
+               load_state=None, resume: bool = False):
     """Semi-supervised loop (reference SimiEpochBasedRunner +
     VoteNetNesie.forward_train)."""
+    from nesie_tpu.utils import MetricsLogger, collect_env
+
     bs = cfg.data.samples_per_step
     n = dataset.num_labeled
     steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
@@ -180,11 +193,18 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
         head=cfg.model.head,
     )
     ulb_state = UlbState.create(dataset.num_unlabeled, cfg.model.num_classes)
-    ckpt = CheckpointManager(Path(cfg.work_dir) / cfg.name)
+    work = Path(cfg.work_dir) / cfg.name
+    ckpt = CheckpointManager(work)
+    if resume:
+        state, ulb_state, at = ckpt.restore(state, ulb_state)
+        log.info("resumed from step %d", at)
+    mlog = MetricsLogger(work)
+    log.info("env: %s", collect_env())
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
-    for epoch in range(cfg.optim.max_epochs):
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
             [rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
@@ -203,6 +223,8 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
                 jax.block_until_ready(metrics["loss"])
                 _log_metrics(int(state.step), epoch, metrics,
                              time.perf_counter() - t0)
+                mlog.log(int(state.step), metrics)
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
             ckpt.save(int(state.step), state, ulb_state)
+    mlog.close()
     return state

@@ -1,0 +1,29 @@
+"""Pallas FPS kernel vs the XLA reference implementation (interpret mode
+on CPU; the compiled path is exercised on TPU by bench/profile runs)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nesie_tpu.ops import furthest_point_sample
+
+
+def test_pallas_fps_matches_xla_interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    import nesie_tpu.ops.pallas_fps as pf
+
+    # force interpret mode so the kernel runs on CPU
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    want = np.asarray(furthest_point_sample(xyz, 16))
+    got = np.asarray(pf.furthest_point_sample_pallas(xyz, 16))
+    np.testing.assert_array_equal(got, want)

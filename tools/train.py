@@ -69,10 +69,10 @@ def main():
 
     if cfg.mode == "pretrain":
         ds = SubScanNetScenes(root, ann, split)
-        runner.train_supervised(cfg, ds, load_state)
+        runner.train_supervised(cfg, ds, load_state, resume=args.resume)
     else:
         ds = SimiScanNetScenes(root, ann, split, ratio=cfg.data.unlabeled_ratio)
-        runner.train_semi(cfg, ds, load_state)
+        runner.train_semi(cfg, ds, load_state, resume=args.resume)
 
 
 if __name__ == "__main__":
