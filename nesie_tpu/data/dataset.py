@@ -58,8 +58,23 @@ class ScanNetScenes:
     def __len__(self):
         return len(self.scenes)
 
+    use_native_loader: bool = True
+
     def load_points(self, scene: Scene, rng, num_points: int = NUM_POINTS):
-        """Full load pipeline -> (num_points, 4) float32 [xyz, height]."""
+        """Full load pipeline -> (num_points, 4) float32 [xyz, height].
+
+        Uses the C++ one-pass loader (native/dataio.cpp) when built;
+        otherwise the numpy path. The two differ only in the subsample RNG
+        stream (documented in native_loader.py)."""
+        if scene.points is None and self.use_native_loader:
+            from .native_loader import load_scene_native
+
+            out = load_scene_native(
+                scene.pts_path, scene.axis_align, num_points,
+                seed=int(rng.integers(1, 2**63 - 1)),
+            )
+            if out is not None:
+                return out
         if scene.points is not None:
             pts = scene.points[:, :3]
         else:

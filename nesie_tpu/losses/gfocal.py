@@ -24,9 +24,8 @@ def quality_focal_loss(pred, label, score, beta: float = 2.0,
     prob = jax.nn.sigmoid(pred) if use_sigmoid else pred
 
     if use_sigmoid:
-        zero_bce = jnp.maximum(pred, 0) - pred * 0.0 + jnp.log1p(
-            jnp.exp(-jnp.abs(pred))
-        )  # BCE-with-logits against target 0
+        # BCE-with-logits against target 0 == softplus(logit)
+        zero_bce = jnp.maximum(pred, 0) + jnp.log1p(jnp.exp(-jnp.abs(pred)))
     else:
         zero_bce = binary_cross_entropy(prob, jnp.zeros_like(prob))
     loss = zero_bce * prob**beta  # (N, C)

@@ -1,16 +1,16 @@
 """Pallas TPU kernel for furthest point sampling.
 
 FPS is sequential over the M selected points; the work per step is a
-(B, N) distance update + argmax. The XLA fori_loop version materializes
-the (B, N) distance array in HBM every step; this kernel keeps the
-distance cache and the point coordinates resident in VMEM across all M
-steps (one grid cell per batch row), eliminating ~M round trips to HBM.
+(1, N) distance update + argmax. The XLA fori_loop version round-trips the
+distance array through HBM every step; this kernel keeps the distance
+cache and the coordinates resident in VMEM across all M steps (one grid
+cell per batch row).
 
 Mirrors the reference CUDA schedule (furthest_point_sample_cuda.cu:26):
-start at index 0, then iteratively pick argmax of min-distance-to-set.
+start at index 0, then repeatedly pick the argmax of min-distance-to-set.
 
-N must fit in VMEM: N * 4 (xyz padded to 4 lanes... we store x/y/z as
-three (1, N) rows) — 40k points ~ 0.5 MB, fine.
+TPU lowering notes: the output rides as (B, 1, M) so every block's last
+two dims are (1, M) — legal tiles; all in-kernel tensors stay 2D (1, N).
 """
 from __future__ import annotations
 
@@ -25,26 +25,25 @@ from jax.experimental.pallas import tpu as pltpu
 def _fps_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
     """One batch row per grid cell.
 
-    xyz_ref: (1, N, 3) VMEM; out_ref: (1, M) int32 VMEM;
-    dist_ref: (1, N) f32 scratch.
+    xyz_ref: (1, N, 3) VMEM; out_ref: (1, 1, M) int32; dist_ref: (1, N) f32.
     """
     n = xyz_ref.shape[1]
     dist_ref[...] = jnp.full((1, n), 1e10, jnp.float32)
-    out_ref[0, 0] = jnp.int32(0)
+    out_ref[0, 0, 0] = jnp.int32(0)
 
-    x = xyz_ref[0, :, 0]
-    y = xyz_ref[0, :, 1]
-    z = xyz_ref[0, :, 2]
+    x = xyz_ref[0, :, 0].reshape(1, n)
+    y = xyz_ref[0, :, 1].reshape(1, n)
+    z = xyz_ref[0, :, 2].reshape(1, n)
 
     def body(i, last):
-        lx = x[last]
-        ly = y[last]
-        lz = z[last]
+        lx = jax.lax.dynamic_slice(x, (0, last), (1, 1))
+        ly = jax.lax.dynamic_slice(y, (0, last), (1, 1))
+        lz = jax.lax.dynamic_slice(z, (0, last), (1, 1))
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        nd = jnp.minimum(dist_ref[0, :], d)
-        dist_ref[0, :] = nd
-        nxt = jnp.argmax(nd).astype(jnp.int32)
-        out_ref[0, i] = nxt
+        nd = jnp.minimum(dist_ref[...], d)
+        dist_ref[...] = nd
+        nxt = jnp.argmax(nd, axis=1)[0].astype(jnp.int32)
+        out_ref[0, 0, i] = nxt
         return nxt
 
     jax.lax.fori_loop(1, num_samples, body, jnp.int32(0))
@@ -54,15 +53,16 @@ def furthest_point_sample_pallas(xyz, num_samples: int):
     """(B, N, 3) -> (B, M) int32, VMEM-resident FPS."""
     B, N, _ = xyz.shape
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_samples), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((1, 1, num_samples), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
     )(xyz.astype(jnp.float32))
+    return out[:, 0, :]

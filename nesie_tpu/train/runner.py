@@ -136,20 +136,26 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
-    start_epoch = int(state.step) // steps_per_epoch
-    for epoch in range(start_epoch, cfg.optim.max_epochs):
-        order = np.concatenate(
-            [rng.permutation(n) for _ in range(cfg.data.repeat)]
-        )
+    from nesie_tpu.data.prefetch import Prefetcher
+
+    def epoch_batches(order):
         for it in range(steps_per_epoch):
             idx = order[it * bs : (it + 1) * bs]
             if len(idx) < bs:
-                break
+                return
             batch = dataset.train_batch(
                 idx, rng, aug_cfg=strong_aug_config(cfg),
                 num_points=cfg.data.num_points,
             )
             batch.pop("scene_ids", None)
+            yield batch
+
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, cfg.optim.max_epochs):
+        order = np.concatenate(
+            [rng.permutation(n) for _ in range(cfg.data.repeat)]
+        )
+        for it, batch in enumerate(Prefetcher(epoch_batches(order))):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             state, metrics = step_fn(state, batch, sub)
@@ -203,19 +209,24 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
+    from nesie_tpu.data.prefetch import Prefetcher
+
+    def epoch_batches(order):
+        for it in range(steps_per_epoch):
+            idx = order[it * bs : (it + 1) * bs]
+            if len(idx) < bs:
+                return
+            yield dataset.semi_batch(
+                idx, rng, strong_cfg=strong_aug_config(cfg),
+                num_points=cfg.data.num_points,
+            )
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
             [rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
-        for it in range(steps_per_epoch):
-            idx = order[it * bs : (it + 1) * bs]
-            if len(idx) < bs:
-                break
-            batch = dataset.semi_batch(
-                idx, rng, strong_cfg=strong_aug_config(cfg),
-                num_points=cfg.data.num_points,
-            )
+        for it, batch in enumerate(Prefetcher(epoch_batches(order))):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             state, ulb_state, metrics = step_fn(state, ulb_state, batch, sub)

@@ -69,8 +69,10 @@ def main():
     gt_annos, dt_annos = [], []
     bs = args.batch_size
     n = len(ds)
-    for start in range(0, n - n % bs, bs):
-        idx = list(range(start, start + bs))
+    for start in range(0, n, bs):
+        idx = list(range(start, min(start + bs, n)))
+        n_real = len(idx)
+        idx = idx + [idx[-1]] * (bs - n_real)  # pad the tail batch
         batch = ds.eval_batch(idx, rng, cfg.data.num_points)
         key, sub = jax.random.split(key)
         out = fwd(state, batch["points"], sub)
@@ -81,7 +83,7 @@ def main():
             use_iou_for_nms=cfg.test.use_iou_for_nms,
         )
         decoded = jax.tree.map(np.asarray, decoded)
-        for b in range(bs):
+        for b in range(n_real):
             boxes, scores, labels = expand_per_class(
                 {k: v[b] for k, v in decoded.items()}
             )
@@ -90,7 +92,7 @@ def main():
             gb = gb.copy()
             gb[:, 2] += gb[:, 5] / 2  # bottom -> gravity center
             gt_annos.append(dict(boxes=gb, labels=batch["gt_labels"][b][batch["gt_valid"][b]]))
-        logging.info("evaluated %d/%d scenes", start + bs, n)
+        logging.info("evaluated %d/%d scenes", start + n_real, n)
 
     results = indoor_eval(gt_annos, dt_annos, class_names=list(CLASS_NAMES))
     for k in sorted(results):

@@ -52,6 +52,15 @@ def main():
     cfg = dataclasses.replace(cfg, seed=args.seed, work_dir=args.work_dir)
     cfg = apply_overrides(cfg, args.cfg_options)
 
+    # dump the resolved config into the work dir (reference train.py:144)
+    work = Path(args.work_dir) / cfg.name
+    work.mkdir(parents=True, exist_ok=True)
+    import json
+
+    (work / "config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+    )
+
     root = Path(args.data_root)
     ann = root / cfg.data.train_ann_file
     split = root / cfg.data.label_list_file
