@@ -28,12 +28,14 @@ def _fps_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
     xyz_ref: (1, N, 3) VMEM; out_ref: (1, 1, M) int32; dist_ref: (1, N) f32.
     """
     n = xyz_ref.shape[1]
+    m = out_ref.shape[2]
     dist_ref[...] = jnp.full((1, n), 1e10, jnp.float32)
-    out_ref[0, 0, 0] = jnp.int32(0)
+    out_ref[0] = jnp.zeros((1, m), jnp.int32)  # slot 0 = index 0
 
     x = xyz_ref[0, :, 0].reshape(1, n)
     y = xyz_ref[0, :, 1].reshape(1, n)
     z = xyz_ref[0, :, 2].reshape(1, n)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
     def body(i, last):
         lx = jax.lax.dynamic_slice(x, (0, last), (1, 1))
@@ -43,7 +45,9 @@ def _fps_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
         nd = jnp.minimum(dist_ref[...], d)
         dist_ref[...] = nd
         nxt = jnp.argmax(nd, axis=1)[0].astype(jnp.int32)
-        out_ref[0, 0, i] = nxt
+        # Mosaic forbids scalar VMEM stores: write the slot via a masked
+        # full-row update (m elements per step — negligible on the VPU)
+        out_ref[0] = jnp.where(slot_iota == i, nxt, out_ref[0])
         return nxt
 
     jax.lax.fori_loop(1, num_samples, body, jnp.int32(0))

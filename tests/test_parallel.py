@@ -1,0 +1,78 @@
+"""Data-parallel correctness: the same supervised step, sharded over the
+8-device CPU mesh vs unsharded, must produce (near-)identical losses and
+parameters — jit's single-program semantics make sync-BN and gradient
+all-reduce implicit."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nesie_tpu.nn.detector import VoteNetNesie
+from nesie_tpu.parallel import make_mesh, replicate, shard_batch
+from nesie_tpu.train.state import create_train_state, make_lr_schedule, make_optimizer
+from nesie_tpu.train.step import make_supervised_train_step
+from nesie_tpu.train.sup_loss import NesieLossConfig
+
+C = 4
+TINY = dict(
+    num_classes=C,
+    reg_max=8,
+    num_proposal=16,
+    num_points=(64, 32, 16, 16),
+    num_samples=(8, 8, 4, 4),
+    sa_channels=((16, 16, 32), (32, 32, 32), (32, 32, 32), (32, 32, 32)),
+    fp_channels=((32, 32), (32, 32)),
+)
+
+
+def _make_batch(B, N=128, MG=8):
+    r = np.random.RandomState(0)
+    batch = dict(
+        points=jnp.asarray(r.uniform(size=(B, N, 4)).astype(np.float32)),
+        gt_boxes=jnp.zeros((B, MG, 7))
+        .at[:, :2, 3:6].set(0.5)
+        .at[:, :2, :3].set(jnp.asarray(r.uniform(0.2, 0.8, (B, 2, 3)))),
+        gt_labels=jnp.zeros((B, MG), jnp.int32),
+        gt_valid=jnp.zeros((B, MG), bool).at[:, :2].set(True),
+    )
+    return batch
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_matches_single_device():
+    B = 8
+    model = VoteNetNesie(**TINY)
+    rng = jax.random.PRNGKey(0)
+    batch = _make_batch(B)
+    variables = model.init({"params": rng}, batch["points"], "vote", rng)
+    tx = make_optimizer(make_lr_schedule(1e-3, 10))
+    step = make_supervised_train_step(model, tx, NesieLossConfig(num_classes=C))
+
+    def fresh_vars():
+        return jax.tree.map(jnp.copy, variables)
+
+    # single device
+    state1 = create_train_state(fresh_vars(), tx)
+    s1, m1 = step(state1, batch, jax.random.PRNGKey(1))
+
+    # 8-device dp mesh
+    mesh = make_mesh(8)
+    state2 = create_train_state(fresh_vars(), tx)
+    state2 = replicate(state2, mesh)
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        s2, m2 = step(state2, sharded, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-3
+    )
+    # Adam at step 1 is sign-like (m/sqrt(v) = ±1), so reduction-order noise
+    # on near-zero grads flips updates by up to 2*lr; bound by that.
+    lr = 1e-3
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(l1, l2))
+    assert worst <= 2.5 * lr, worst
