@@ -33,6 +33,7 @@ class ModelConfig:
     jitter_scale: float = 0.3
     jitter_size_bias: float = 0.0
     head: str = "nesie"  # or "saqe"
+    compute_dtype: str | None = None  # "bfloat16" for bf16 backbone compute
 
 
 @dataclass(frozen=True)

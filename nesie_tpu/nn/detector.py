@@ -44,10 +44,15 @@ class VoteNetNesie(nn.Module):
     fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
     jitter_scale: float = 0.3
     jitter_size_bias: float = 0.0
+    compute_dtype: str | None = None  # "bfloat16" runs backbone MLPs in bf16
 
     @property
     def seed_feat_dim(self) -> int:
         return self.fp_channels[-1][-1]
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         self.backbone = PointNet2SASSG(
@@ -57,6 +62,7 @@ class VoteNetNesie(nn.Module):
             num_samples=self.num_samples,
             sa_channels=self.sa_channels,
             fp_channels=self.fp_channels,
+            compute_dtype=self._dtype,
         )
         common = dict(
             num_classes=self.num_classes,

@@ -34,6 +34,7 @@ class PointMLP(nn.Module):
     norm: str = "bn"
     gn_groups: int = 32
     bias: str | bool = "auto"
+    dtype: jnp.dtype | None = None  # e.g. jnp.bfloat16 compute, f32 params
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,18 +46,23 @@ class PointMLP(nn.Module):
                 use_bias = not (normed and self.norm != "none")
             else:
                 use_bias = bool(self.bias)
-            x = nn.Dense(c, use_bias=use_bias, name=f"dense{i}")(x)
+            x = nn.Dense(c, use_bias=use_bias, dtype=self.dtype,
+                         name=f"dense{i}")(x)
             if normed:
                 if self.norm == "bn":
                     x = nn.BatchNorm(
                         use_running_average=not train,
                         momentum=0.9,
                         epsilon=1e-5,
+                        dtype=self.dtype,
                         name=f"norm{i}",
                     )(x)
                 elif self.norm == "gn":
-                    x = nn.GroupNorm(num_groups=self.gn_groups, name=f"norm{i}")(x)
+                    x = nn.GroupNorm(num_groups=self.gn_groups,
+                                     dtype=self.dtype, name=f"norm{i}")(x)
                 x = nn.relu(x)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)  # hand f32 back to the caller
         return x
 
 

@@ -40,6 +40,7 @@ class PointSAModule(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = True
     pool: str = "max"
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -77,7 +78,9 @@ class PointSAModule(nn.Module):
         else:
             grouped = grouped_xyz
 
-        out = PointMLP(self.mlp_channels, name="mlp")(grouped, train=train)
+        out = PointMLP(self.mlp_channels, dtype=self.dtype, name="mlp")(
+            grouped, train=train
+        )
         if self.pool == "max":
             out = jnp.max(out, axis=2)
         else:
@@ -97,6 +100,7 @@ class PointSAModuleMSG(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = True
     pool: str = "max"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, indices=None,
@@ -120,9 +124,8 @@ class PointSAModuleMSG(nn.Module):
                     grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
             else:
                 grouped = grouped_xyz
-            out = PointMLP(self.mlp_channels[i], name=f"mlp{i}")(
-                grouped, train=train
-            )
+            out = PointMLP(self.mlp_channels[i], dtype=self.dtype,
+                           name=f"mlp{i}")(grouped, train=train)
             outs.append(
                 jnp.max(out, axis=2) if self.pool == "max" else jnp.mean(out, axis=2)
             )
@@ -133,6 +136,7 @@ class PointFPModule(nn.Module):
     """Feature propagation: 3-NN inverse-distance interpolation + MLP."""
 
     mlp_channels: Sequence[int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, target_xyz, source_xyz, target_feats, source_feats,
@@ -150,7 +154,9 @@ class PointFPModule(nn.Module):
         interp = three_interpolate(source_feats, idx, weight)
         if target_feats is not None:
             interp = jnp.concatenate([interp, target_feats], axis=-1)
-        return PointMLP(self.mlp_channels, name="mlp")(interp, train=train)
+        return PointMLP(self.mlp_channels, dtype=self.dtype, name="mlp")(
+            interp, train=train
+        )
 
 
 class PointNet2SASSG(nn.Module):
@@ -171,6 +177,7 @@ class PointNet2SASSG(nn.Module):
         (128, 128, 256),
     )
     fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for the MLP stacks
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -192,6 +199,7 @@ class PointNet2SASSG(nn.Module):
                 radius=self.radii[i],
                 num_sample=self.num_samples[i],
                 mlp_channels=self.sa_channels[i],
+                dtype=self.compute_dtype,
                 name=f"sa{i}",
             )(sa_xyz[-1], sa_features[-1], train=train)
             sa_xyz.append(cur_xyz)
@@ -207,7 +215,8 @@ class PointNet2SASSG(nn.Module):
         for i in range(len(self.fp_channels)):
             tgt = num_sa - i - 1
             fp_features.append(
-                PointFPModule(self.fp_channels[i], name=f"fp{i}")(
+                PointFPModule(self.fp_channels[i], dtype=self.compute_dtype,
+                              name=f"fp{i}")(
                     sa_xyz[tgt], sa_xyz[tgt + 1], sa_features[tgt], fp_features[-1],
                     train=train,
                 )

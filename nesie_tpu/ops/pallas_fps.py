@@ -25,22 +25,30 @@ from jax.experimental.pallas import tpu as pltpu
 def _fps_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
     """One batch row per grid cell.
 
-    xyz_ref: (1, N, 3) VMEM; out_ref: (1, 1, M) int32; dist_ref: (1, N) f32.
+    xyz_ref: (1, 3, N) VMEM (coords as rows — a (N, 3) block would pad the
+    3-lane dim to 128 and blow VMEM 42x); out_ref: (1, 1, M) int32;
+    dist_ref: (1, N) f32.
     """
-    n = xyz_ref.shape[1]
+    n = xyz_ref.shape[2]
     m = out_ref.shape[2]
     dist_ref[...] = jnp.full((1, n), 1e10, jnp.float32)
     out_ref[0] = jnp.zeros((1, m), jnp.int32)  # slot 0 = index 0
 
-    x = xyz_ref[0, :, 0].reshape(1, n)
-    y = xyz_ref[0, :, 1].reshape(1, n)
-    z = xyz_ref[0, :, 2].reshape(1, n)
+    x = xyz_ref[0, 0, :].reshape(1, n)
+    y = xyz_ref[0, 1, :].reshape(1, n)
+    z = xyz_ref[0, 2, :].reshape(1, n)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    point_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, last):
-        lx = jax.lax.dynamic_slice(x, (0, last), (1, 1))
-        ly = jax.lax.dynamic_slice(y, (0, last), (1, 1))
-        lz = jax.lax.dynamic_slice(z, (0, last), (1, 1))
+        # Mosaic has no dynamic_slice, and float ADD reductions hit layout
+        # restrictions here — fetch the selected point's coords with a
+        # masked MAX reduction instead
+        sel = point_iota == last
+        neg = jnp.float32(-1e30)
+        lx = jnp.max(jnp.where(sel, x, neg), axis=1, keepdims=True)
+        ly = jnp.max(jnp.where(sel, y, neg), axis=1, keepdims=True)
+        lz = jnp.max(jnp.where(sel, z, neg), axis=1, keepdims=True)
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
         nd = jnp.minimum(dist_ref[...], d)
         dist_ref[...] = nd
@@ -57,16 +65,17 @@ def furthest_point_sample_pallas(xyz, num_samples: int):
     """(B, N, 3) -> (B, M) int32, VMEM-resident FPS."""
     B, N, _ = xyz.shape
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, num_samples), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
-    )(xyz.astype(jnp.float32))
+    )(xyz_t)
     return out[:, 0, :]

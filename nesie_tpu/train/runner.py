@@ -49,6 +49,7 @@ def build_model(cfg: ExperimentConfig) -> VoteNetNesie:
         jitter_scale=m.jitter_scale,
         jitter_size_bias=m.jitter_size_bias,
         head=m.head,
+        compute_dtype=m.compute_dtype,
     )
 
 

@@ -75,3 +75,22 @@ def test_indoor_eval_duplicate_detection_is_fp():
     ]
     res = indoor_eval(gt, dt)
     np.testing.assert_allclose(res["mAP_0.25"], 1.0, atol=1e-6)  # TP first, dup FP after full recall
+
+
+def test_instance_seg_eval():
+    from nesie_tpu.eval.instance_seg import evaluate_instance_segmentation
+
+    N = 100
+    g1 = np.zeros(N, bool); g1[:30] = True
+    g2 = np.zeros(N, bool); g2[50:80] = True
+    gt = [dict(masks=np.stack([g1, g2]), labels=np.array([0, 1]))]
+    # perfect pred for g1, overlapping-but-poor for g2, plus an FP
+    p2 = np.zeros(N, bool); p2[50:60] = True
+    p3 = np.zeros(N, bool); p3[90:] = True
+    dt = [dict(masks=np.stack([g1, p2, p3]),
+               scores=np.array([0.9, 0.8, 0.7]),
+               labels=np.array([0, 1, 0]))]
+    res = evaluate_instance_segmentation(gt, dt)
+    assert res["0_AP_0.25"] == 1.0         # matched before the FP
+    assert res["1_AP_0.50"] == 0.0         # IoU 10/30 < 0.5
+    assert 0 < res["mAP_0.25"] <= 1.0

@@ -173,3 +173,20 @@ def test_tta_merge_roundtrip(rng):
     assert len(merged["boxes"]) == 1
     np.testing.assert_allclose(merged["boxes"][0][:6], box[0][:6], atol=1e-5)
     assert merged["labels"][0] == 2
+
+
+def test_sparse_basic_block(rng):
+    from nesie_tpu.nn.sparse_block import SparseBasicBlock
+
+    dense = np.zeros((4, 4, 4, 8), np.float32)
+    dense[0, 0, 0] = rng.normal(size=8)
+    dense[2, 1, 3] = rng.normal(size=8)
+    sp, _ = _sparse_from_dense(dense)
+    block = SparseBasicBlock(channels=8)
+    variables = block.init(jax.random.PRNGKey(0), sp, False)
+    out, _ = block.apply(variables, sp, True, mutable=["batch_stats"])
+    assert out.features.shape == (32, 8)
+    assert np.isfinite(np.asarray(out.features)).all()
+    # inactive sites stay zero
+    inactive = ~np.asarray(sp.valid)
+    assert np.abs(np.asarray(out.features)[inactive]).sum() == 0

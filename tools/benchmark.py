@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Component & end-to-end benchmark harness.
+
+Examples:
+    python tools/benchmark.py --what ops           # point-op timings
+    python tools/benchmark.py --what forward       # full model fwd variants
+    python tools/benchmark.py --what train         # supervised train step
+    python tools/benchmark.py --what decode        # decode + NMS
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timeit(name, fn, *args, iters=5, sync_via_transfer=True):
+    import jax
+
+    out = fn(*args)
+    out = jax.device_get(out) if sync_via_transfer else jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    if sync_via_transfer:
+        jax.device_get(out)
+    else:
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:48s} {dt * 1000:9.2f} ms", flush=True)
+    return dt
+
+
+def bench_ops(B=8, N=40000):
+    import jax, jax.numpy as jnp
+
+    from nesie_tpu.ops import ball_query, furthest_point_sample, three_nn
+    from nesie_tpu.ops.pallas_fps import furthest_point_sample_pallas
+
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (B, N, 3))
+    timeit("fps 40000->2048 (xla)",
+           jax.jit(lambda x: furthest_point_sample(x, 2048)), xyz)
+    try:
+        timeit("fps 40000->2048 (pallas)",
+               jax.jit(lambda x: furthest_point_sample_pallas(x, 2048)), xyz)
+    except Exception as e:
+        print(f"pallas fps unavailable: {type(e).__name__}")
+    c = xyz[:, :2048]
+    timeit("ball_query 2048q x 40000 K64",
+           jax.jit(lambda x, q: ball_query(x, q, 0.2, 64)), xyz, c)
+    timeit("ball_query 1024q x 2048 K32",
+           jax.jit(lambda x, q: ball_query(x, q, 0.4, 32)), c, xyz[:, :1024])
+    grid = jax.random.uniform(key, (B, 49152, 3))
+    timeit("three_nn 49152q x 1024 (quality grids)",
+           jax.jit(lambda q, s: three_nn(q, s)), grid, xyz[:, :1024])
+
+
+def bench_forward(B=8, pallas_fps=False, bf16=False):
+    import jax, jax.numpy as jnp
+
+    import nesie_tpu.ops.pointops as po
+    from nesie_tpu.nn.detector import VoteNetNesie
+
+    if pallas_fps:
+        po.set_fps_impl("pallas")
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (B, 40000, 4))
+    model = VoteNetNesie(compute_dtype="bfloat16" if bf16 else None)
+    variables = model.init({"params": key}, pts[:1], "seed", key, train=False)
+
+    @jax.jit
+    def fwd(p):
+        out = model.apply(variables, p, "seed", jax.random.PRNGKey(1), train=False)
+        return out["bbox_preds"], out["iou_scores"]
+
+    tag = f"forward (pallas_fps={pallas_fps}, bf16={bf16})"
+    dt = timeit(tag, fwd, pts, iters=10, sync_via_transfer=False)
+    print(f"  -> {B / dt:.2f} scenes/s", flush=True)
+
+
+def bench_train(B=2):
+    import jax, jax.numpy as jnp
+
+    from nesie_tpu.nn.detector import VoteNetNesie
+    from nesie_tpu.train.state import (
+        create_train_state, make_lr_schedule, make_optimizer,
+    )
+    from nesie_tpu.train.step import make_supervised_train_step
+
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (B, 40000, 4))
+    model = VoteNetNesie()
+    variables = model.init({"params": key}, pts[:1], "vote", key, train=False)
+    tx = make_optimizer(make_lr_schedule(8e-3, 100))
+    state = create_train_state(variables, tx)
+    step = make_supervised_train_step(model, tx)
+    batch = dict(
+        points=pts,
+        gt_boxes=jnp.zeros((B, 64, 7)).at[:, :8, 3:6].set(0.5),
+        gt_labels=jnp.zeros((B, 64), jnp.int32),
+        gt_valid=jnp.zeros((B, 64), bool).at[:, :8].set(True),
+    )
+
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"supervised train step (B={B}): {dt*1000:.1f} ms "
+          f"({B/dt:.2f} scenes/s)", flush=True)
+
+
+def bench_decode(B=8):
+    import jax, jax.numpy as jnp
+
+    from nesie_tpu.eval.postprocess import decode_and_nms
+
+    key = jax.random.PRNGKey(0)
+    P, C = 256, 18
+    results = dict(
+        bbox_preds=jax.random.uniform(key, (B, P, 7)) * 2,
+        obj_scores=jax.random.normal(key, (B, P, 2)),
+        sem_scores=jax.random.normal(key, (B, P, C)),
+        iou_scores=jax.random.uniform(key, (B, P, C)),
+    )
+    pts = jax.random.uniform(key, (B, 40000, 3)) * 4
+    timeit("decode + class-aware NMS",
+           lambda r, p: decode_and_nms(r, p), results, pts, iters=5,
+           sync_via_transfer=False)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", default="forward",
+                   choices=["ops", "forward", "train", "decode", "all"])
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--pallas-fps", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.what in ("ops", "all"):
+        bench_ops(args.batch)
+    if args.what in ("forward", "all"):
+        bench_forward(args.batch, args.pallas_fps, args.bf16)
+    if args.what in ("train", "all"):
+        bench_train()
+    if args.what in ("decode", "all"):
+        bench_decode(args.batch)
+
+
+if __name__ == "__main__":
+    main()
