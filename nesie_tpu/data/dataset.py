@@ -59,14 +59,20 @@ class ScanNetScenes:
         return len(self.scenes)
 
     use_native_loader: bool = True
+    cache_scenes: bool = True  # keep aligned+height clouds in host RAM
 
     def load_points(self, scene: Scene, rng, num_points: int = NUM_POINTS):
         """Full load pipeline -> (num_points, 4) float32 [xyz, height].
 
-        Uses the C++ one-pass loader (native/dataio.cpp) when built;
-        otherwise the numpy path. The two differ only in the subsample RNG
-        stream (documented in native_loader.py)."""
-        if scene.points is None and self.use_native_loader:
+        Scenes are cached post-align/post-height on first access (a ScanNet
+        train split is ~1 GB — cheap on the host), so the dual strong/weak
+        views of the semi loop only pay one disk read per scene. Cold reads
+        use the C++ one-pass loader (native/dataio.cpp) when built."""
+        if scene.points is not None:
+            pts = io.add_height(scene.points[:, :3])
+            return io.sample_points(pts, num_points, rng).astype(np.float32)
+
+        if not self.cache_scenes and self.use_native_loader:
             from .native_loader import load_scene_native
 
             out = load_scene_native(
@@ -75,13 +81,18 @@ class ScanNetScenes:
             )
             if out is not None:
                 return out
-        if scene.points is not None:
-            pts = scene.points[:, :3]
-        else:
+
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
+        cached = cache.get(scene.scene_id)
+        if cached is None:
             pts = io.load_points_bin(scene.pts_path)  # use_dim=[0,1,2]
             pts = io.global_alignment(pts, scene.axis_align)
-        pts = io.add_height(pts)
-        return io.sample_points(pts, num_points, rng).astype(np.float32)
+            cached = io.add_height(pts).astype(np.float32)
+            if self.cache_scenes:
+                cache[scene.scene_id] = cached
+        return io.sample_points(cached, num_points, rng).astype(np.float32)
 
     @staticmethod
     def pad_gt(boxes, labels, max_gt: int = MAX_GT):

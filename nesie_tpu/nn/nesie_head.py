@@ -96,6 +96,7 @@ class NesieHead(nn.Module):
     agg_mlp_channels: Sequence[int] = (128, 128, 128)
     pred_shared_channels: Sequence[int] = (128, 128)
     dataset_name: str = "ScanNet"
+    seed_fps_prefix_opt: bool = True
     jitter_scale: float = 0.3
     jitter_size_bias: float = 0.0
 
@@ -142,7 +143,18 @@ class NesieHead(nn.Module):
         if sample_mod == "vote":
             agg = self.vote_aggregation(vote_points, vote_features, train=train)
         elif sample_mod == "seed":
-            sample_indices = furthest_point_sample(seed_points, self.num_proposal)
+            if self.seed_fps_prefix_opt:
+                # seeds are the FPS-ordered SA2 points: FPS prefix
+                # consistency makes the head's seed FPS a free arange
+                B = seed_points.shape[0]
+                sample_indices = jnp.broadcast_to(
+                    jnp.arange(self.num_proposal, dtype=jnp.int32)[None],
+                    (B, self.num_proposal),
+                )
+            else:
+                sample_indices = furthest_point_sample(
+                    seed_points, self.num_proposal
+                )
             agg = self.vote_aggregation(
                 vote_points, vote_features, train=train, indices=sample_indices
             )

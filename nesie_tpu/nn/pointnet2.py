@@ -41,6 +41,7 @@ class PointSAModule(nn.Module):
     normalize_xyz: bool = True
     pool: str = "max"
     dtype: object = None
+    input_fps_ordered: bool = False
 
     @nn.compact
     def __call__(
@@ -58,12 +59,26 @@ class PointSAModule(nn.Module):
                 (the 'spec' mode).
         Returns:
             new_xyz (B, M, 3), new_features (B, M, mlp[-1]), indices (B, M).
+
+        ``input_fps_ordered``: FPS is prefix-consistent — if X was produced
+        by (and gathered in) FPS order from the same start point, then
+        FPS(X, m) is exactly the first m elements of X (the global argmax at
+        each step lies in the subset, so it is also the subset argmax; only
+        exact-tie breaking can differ). Stages whose input is a previous
+        FPS output can therefore skip the sequential kernel entirely.
         """
         if target_xyz is not None:
             new_xyz = target_xyz
         else:
             if indices is None:
-                indices = furthest_point_sample(xyz, self.num_point)
+                if self.input_fps_ordered:
+                    B, N = xyz.shape[:2]
+                    indices = jnp.broadcast_to(
+                        jnp.arange(self.num_point, dtype=jnp.int32)[None],
+                        (B, self.num_point),
+                    )
+                else:
+                    indices = furthest_point_sample(xyz, self.num_point)
             new_xyz = gather_points(xyz, indices)
 
         idx = ball_query(xyz, new_xyz, self.radius, self.num_sample)
@@ -178,6 +193,9 @@ class PointNet2SASSG(nn.Module):
     )
     fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
     compute_dtype: object = None  # e.g. jnp.bfloat16 for the MLP stacks
+    # SA2+ inputs are FPS outputs gathered in selection order, so their FPS
+    # reduces to arange (prefix consistency; see PointSAModule docstring)
+    fps_prefix_opt: bool = True
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -200,6 +218,7 @@ class PointNet2SASSG(nn.Module):
                 num_sample=self.num_samples[i],
                 mlp_channels=self.sa_channels[i],
                 dtype=self.compute_dtype,
+                input_fps_ordered=self.fps_prefix_opt and i > 0,
                 name=f"sa{i}",
             )(sa_xyz[-1], sa_features[-1], train=train)
             sa_xyz.append(cur_xyz)

@@ -161,3 +161,15 @@ def test_fps_with_valid_mask(rng):
         furthest_point_sample(jnp.asarray(xyz), 8, valid_mask=jnp.asarray(mask))
     )
     assert (idx < 16).all()
+
+
+def test_fps_prefix_consistency(rng):
+    """FPS of an FPS-ordered subset equals its first M indices — the
+    property behind the backbone's fps_prefix_opt."""
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    idx = furthest_point_sample(xyz, 32)
+    from nesie_tpu.ops import gather_points
+
+    subset = gather_points(xyz, idx)  # FPS-selection order
+    idx2 = np.asarray(furthest_point_sample(subset, 16))
+    np.testing.assert_array_equal(idx2, np.tile(np.arange(16), (2, 1)))
