@@ -1,6 +1,9 @@
 from .pointops import (
     square_distance,
     furthest_point_sample,
+    furthest_point_sample_with_features,
+    points_sampler,
+    set_fps_impl,
     ball_query,
     gather_points,
     group_points,
@@ -12,6 +15,9 @@ from .pointops import (
 __all__ = [
     "square_distance",
     "furthest_point_sample",
+    "furthest_point_sample_with_features",
+    "points_sampler",
+    "set_fps_impl",
     "ball_query",
     "gather_points",
     "group_points",

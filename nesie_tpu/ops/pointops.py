@@ -107,6 +107,56 @@ def furthest_point_sample(xyz, num_samples: int, valid_mask=None):
     return idxs
 
 
+def furthest_point_sample_with_features(points, num_samples: int):
+    """F-FPS: farthest point sampling in an arbitrary feature space
+    (reference Points_Sampler 'F-FPS' mode, points_sampler.py: FPS over
+    concatenated xyz+feature distances).
+
+    Args:
+        points: (B, N, D) feature vectors (e.g. concat of xyz and feats).
+    Returns:
+        (B, M) int32 indices.
+    """
+    B, N, _ = points.shape
+    pts = points.astype(jnp.float32)
+    dists = jnp.full((B, N), 1e10, jnp.float32)
+    idxs = jnp.zeros((B, num_samples), jnp.int32)
+    last = jnp.zeros((B,), jnp.int32)
+
+    def body(i, state):
+        dists, idxs, last = state
+        lastp = jnp.take_along_axis(pts, last[:, None, None], axis=1)
+        d = jnp.sum((pts - lastp) ** 2, axis=-1)
+        dists = jnp.minimum(dists, d)
+        nxt = jnp.argmax(dists, axis=-1).astype(jnp.int32)
+        idxs = idxs.at[:, i].set(nxt)
+        return dists, idxs, nxt
+
+    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, (dists, idxs, last))
+    return idxs
+
+
+def points_sampler(xyz, features, num_point: int, mode: str = "D-FPS"):
+    """Reference Points_Sampler dispatch (points_sampler.py:34).
+
+    mode: 'D-FPS' (euclidean), 'F-FPS' (xyz+features distance), or 'FS'
+    (both, concatenated — returns (B, 2*num_point)).
+    """
+    if mode == "D-FPS":
+        return furthest_point_sample(xyz, num_point)
+    if features is not None:
+        combined = jnp.concatenate([xyz, features], axis=-1)
+    else:
+        combined = xyz
+    if mode == "F-FPS":
+        return furthest_point_sample_with_features(combined, num_point)
+    if mode == "FS":
+        d = furthest_point_sample(xyz, num_point)
+        f = furthest_point_sample_with_features(combined, num_point)
+        return jnp.concatenate([f, d], axis=1)
+    raise ValueError(mode)
+
+
 # ---------------------------------------------------------------------------
 # Ball query
 # ---------------------------------------------------------------------------

@@ -142,3 +142,28 @@ def test_write_and_load_infos(tmp_path):
     rng = np.random.default_rng(0)
     pts = ds.load_points(s, rng, num_points=64)
     assert pts.shape == (64, 4)
+
+
+def test_outdoor_transforms():
+    from nesie_tpu.data.outdoor_transforms import (
+        object_noise, object_range_filter, points_range_filter,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (500, 4)).astype(np.float32)
+    kept = points_range_filter(pts, (-1, -1, -5, 1, 1, 5))
+    assert (np.abs(kept[:, :2]) <= 1).all()
+
+    boxes = np.array([[0, 0, 0, 1, 1, 1, 0], [9, 9, 0, 1, 1, 1, 0]], np.float32)
+    labels = np.array([1, 2])
+    b, l = object_range_filter(boxes, labels, (-2, -2, 2, 2))
+    assert len(b) == 1 and l[0] == 1
+
+    pts2 = np.zeros((10, 3), np.float32)
+    pts2[:, 2] = 0.5  # inside box 0
+    nb_pts, nb_boxes = object_noise(pts2, boxes[:1].copy(), rng)
+    # points moved with the box
+    assert not np.allclose(nb_pts, pts2)
+    np.testing.assert_allclose(
+        nb_pts[:, :3].mean(0)[:2], nb_boxes[0, :2], atol=0.05
+    )

@@ -173,3 +173,17 @@ def test_fps_prefix_consistency(rng):
     subset = gather_points(xyz, idx)  # FPS-selection order
     idx2 = np.asarray(furthest_point_sample(subset, 16))
     np.testing.assert_array_equal(idx2, np.tile(np.arange(16), (2, 1)))
+
+
+def test_points_sampler_modes(rng):
+    from nesie_tpu.ops import points_sampler
+
+    xyz = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(1, 64, 8)).astype(np.float32))
+    d = np.asarray(points_sampler(xyz, feats, 8, "D-FPS"))
+    f = np.asarray(points_sampler(xyz, feats, 8, "F-FPS"))
+    fs = np.asarray(points_sampler(xyz, feats, 8, "FS"))
+    assert d.shape == (1, 8) and f.shape == (1, 8)
+    assert fs.shape == (1, 16)
+    np.testing.assert_array_equal(fs[0, 8:], d[0])  # FS = [F-FPS, D-FPS]
+    assert not np.array_equal(d, f)  # feature distances change the pick
