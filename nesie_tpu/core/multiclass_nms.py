@@ -48,6 +48,39 @@ def nms_bev_rotated(boxes5, scores, thresh: float, valid_mask=None):
     return jax.lax.while_loop(cond, body, (alive, keep))[1]
 
 
+def circle_nms(centers_scores, thresh: float, valid_mask=None):
+    """Center-distance NMS (reference box3d_nms.py:180 ``circle_nms``,
+    CenterPoint-legacy): suppress detections whose BEV center lies within
+    ``thresh`` (squared distance) of a higher-scored kept detection.
+
+    Args:
+        centers_scores: (N, 3) rows ``(x, y, score)``.
+    Returns:
+        (N,) bool keep mask.
+    """
+    n = centers_scores.shape[0]
+    xy = centers_scores[:, :2]
+    scores = centers_scores[:, 2]
+    d2 = jnp.sum((xy[:, None] - xy[None, :]) ** 2, axis=-1)
+
+    alive = jnp.ones((n,), bool) if valid_mask is None else valid_mask
+    keep = jnp.zeros((n,), bool)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        alive, keep = state
+        i = jnp.argmax(jnp.where(alive, scores, neg_inf))
+        keep = keep.at[i].set(True)
+        alive = alive & ~(d2[i] < thresh)
+        alive = alive.at[i].set(False)
+        return alive, keep
+
+    return jax.lax.while_loop(cond, body, (alive, keep))[1]
+
+
 def box3d_multiclass_nms(
     boxes7,
     scores,

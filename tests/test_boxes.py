@@ -81,3 +81,30 @@ def test_limit_period():
     v = jnp.asarray([3.5 * np.pi, -2.5 * np.pi])
     out = np.asarray(limit_period(v, 0.5, 2 * np.pi))
     assert (out >= -np.pi).all() and (out < np.pi).all()
+
+
+def test_np_box_ops_consistent_with_jax():
+    from nesie_tpu.core.np_box_ops import (
+        center_to_corner_box3d, corner_to_standup_nd, points_in_rbbox,
+    )
+    from nesie_tpu.core import box_corners, corners_minmax, points_in_boxes
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    boxes = rng.uniform(0.5, 2.0, (4, 7)).astype(np.float32)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 4)
+    # numpy corners (gravity-center origin) match jax corners
+    c_np = center_to_corner_box3d(boxes[:, :3], boxes[:, 3:6], boxes[:, 6])
+    c_jx = np.asarray(box_corners(jnp.asarray(boxes)))
+    np.testing.assert_allclose(c_np, c_jx, atol=1e-5)
+    np.testing.assert_allclose(
+        corner_to_standup_nd(c_np),
+        np.asarray(corners_minmax(box_corners(jnp.asarray(boxes)))),
+        atol=1e-5,
+    )
+    pts = rng.uniform(-2, 4, (100, 3)).astype(np.float32)
+    m_np = points_in_rbbox(pts, boxes, origin=(0.5, 0.5, 0.5))
+    bb = boxes.copy()
+    bb[:, 2] -= bb[:, 5] / 2  # to bottom for the jax op
+    m_jx = np.asarray(points_in_boxes(jnp.asarray(pts[None]), jnp.asarray(bb[None])))[0]
+    np.testing.assert_array_equal(m_np, m_jx)

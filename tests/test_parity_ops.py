@@ -190,3 +190,13 @@ def test_sparse_basic_block(rng):
     # inactive sites stay zero
     inactive = ~np.asarray(sp.valid)
     assert np.abs(np.asarray(out.features)[inactive]).sum() == 0
+
+
+def test_circle_nms():
+    from nesie_tpu.core.multiclass_nms import circle_nms
+
+    dets = jnp.asarray(
+        np.array([[0, 0, 0.9], [0.1, 0, 0.8], [5, 5, 0.7]], np.float32)
+    )
+    keep = np.asarray(circle_nms(dets, thresh=1.0))
+    np.testing.assert_array_equal(keep, [True, False, True])

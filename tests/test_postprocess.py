@@ -95,3 +95,27 @@ def test_iou_weighting_scales_scores():
     without = decode_and_nms(results, pts, use_iou_for_nms=False)
     ratio = float(with_iou["obj_scores"][0, 0] / without["obj_scores"][0, 0])
     np.testing.assert_allclose(ratio, 0.5, atol=1e-5)
+
+
+def test_iou_opt_refines_boxes():
+    """Test-time IoU optimization runs and changes the boxes."""
+    from nesie_tpu.eval.iou_opt import iou_opt_boxes
+    from nesie_tpu.nn.detector import VoteNetNesie
+
+    model = VoteNetNesie(
+        num_classes=C, reg_max=8, num_proposal=P,
+        num_points=(64, 32, 16, 16), num_samples=(8, 8, 4, 4),
+        sa_channels=((16, 16, 32),) + ((32, 32, 32),) * 3,
+        fp_channels=((32, 32), (32, 32)),
+    )
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(rng, (1, 256, 4))
+    variables = model.init({"params": rng}, pts, "seed", rng, train=False)
+    out = model.apply(variables, pts, "seed", rng, train=False)
+    refined = iou_opt_boxes(model, variables, out, opt_rate=1e-2, opt_step=3)
+    before = np.asarray(out["bbox_preds"])
+    after = np.asarray(refined["bbox_preds"])
+    assert np.isfinite(after).all()
+    assert not np.allclose(before[..., :6], after[..., :6])
+    # headings untouched
+    np.testing.assert_allclose(before[..., 6], after[..., 6])

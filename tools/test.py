@@ -25,6 +25,9 @@ def parse_args():
                    help="evaluate the EMA teacher weights")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--dump-raw", default=None,
+                   help="directory to dump raw head outputs per scene "
+                        "(the reference test_cfg.add_info equivalent)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -83,6 +86,21 @@ def main():
             use_iou_for_nms=cfg.test.use_iou_for_nms,
         )
         decoded = jax.tree.map(np.asarray, decoded)
+        if args.dump_raw:
+            dump_dir = Path(args.dump_raw)
+            dump_dir.mkdir(parents=True, exist_ok=True)
+            raw = {
+                k: np.asarray(out[k])
+                for k in ("bbox_preds", "obj_scores", "sem_scores",
+                          "iou_scores", "side_scores", "surface_pred",
+                          "aggregated_points", "bbox_probs")
+                if k in out
+            }
+            for b in range(n_real):
+                np.savez(
+                    dump_dir / f"{batch['scene_ids'][b]}.npz",
+                    **{k: v[b] for k, v in raw.items()},
+                )
         for b in range(n_real):
             boxes, scores, labels = expand_per_class(
                 {k: v[b] for k, v in decoded.items()}
