@@ -29,16 +29,26 @@ def main():
     @jax.jit
     def forward(pts):
         out = model.apply(variables, pts, "seed", jax.random.PRNGKey(1), train=False)
-        return out["bbox_preds"], out["obj_scores"], out["iou_scores"]
+        # reduce to a scalar so the sync below transfers one float — on
+        # tunneled backends block_until_ready alone does not actually wait
+        return (
+            out["bbox_preds"],
+            out["obj_scores"],
+            out["iou_scores"],
+            jnp.sum(out["bbox_preds"]) + jnp.sum(out["iou_scores"]),
+        )
 
-    # warmup / compile
-    jax.block_until_ready(forward(points))
+    def run_sync(pts):
+        out = forward(pts)
+        float(out[3])  # host transfer = true completion barrier
+        return out
+
+    run_sync(points)  # warmup / compile
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(points)
-    jax.block_until_ready(out)
+        run_sync(points)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = batch * iters / dt

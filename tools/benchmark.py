@@ -19,18 +19,25 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timeit(name, fn, *args, iters=5, sync_via_transfer=True):
-    import jax
+def _sync(out):
+    """True completion barrier: transfer one scalar per call.
 
-    out = fn(*args)
-    out = jax.device_get(out) if sync_via_transfer else jax.block_until_ready(out)
+    On tunneled backends block_until_ready can return before execution
+    finishes and full device_get adds transfer time; reducing to a scalar
+    on device and pulling that is both correct and cheap."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    return float(s)
+
+
+def timeit(name, fn, *args, iters=5, **_ignored):
+    _sync(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    if sync_via_transfer:
-        jax.device_get(out)
-    else:
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:48s} {dt * 1000:9.2f} ms", flush=True)
     return dt
