@@ -1,4 +1,5 @@
 from .pointops import (
+    set_ball_query_impl,
     square_distance,
     furthest_point_sample,
     furthest_point_sample_with_features,
@@ -18,6 +19,7 @@ __all__ = [
     "furthest_point_sample_with_features",
     "points_sampler",
     "set_fps_impl",
+    "set_ball_query_impl",
     "ball_query",
     "gather_points",
     "group_points",

@@ -161,6 +161,17 @@ def points_sampler(xyz, features, num_point: int, mode: str = "D-FPS"):
 # Ball query
 # ---------------------------------------------------------------------------
 
+_BQ_IMPL = "xla"  # "xla" | "pallas" — trace-time switch
+
+
+def set_ball_query_impl(impl: str):
+    """Select the ball-query kernel ('xla' cumsum+searchsorted or the
+    'pallas' streaming kernel). Takes effect at trace time."""
+    global _BQ_IMPL
+    assert impl in ("xla", "pallas")
+    _BQ_IMPL = impl
+
+
 def ball_query(
     xyz,
     centers,
@@ -188,6 +199,12 @@ def ball_query(
     """
     B, N, _ = xyz.shape
     M = centers.shape[1]
+    if _BQ_IMPL == "pallas" and valid_mask is None and M % 8 == 0:
+        from .pallas_ball_query import ball_query_pallas
+
+        return ball_query_pallas(
+            xyz, centers, radius, num_samples, min_radius
+        )
     max_r2 = radius * radius
     min_r2 = min_radius * min_radius
     chunk = _pick_chunk(M, chunk_target)

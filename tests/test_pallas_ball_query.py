@@ -21,12 +21,12 @@ def test_pallas_ball_query_matches_xla(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp_call)
 
     rng = np.random.default_rng(0)
-    B, N, M, K = 2, 256, 16, 8
+    B, N, M, K = 2, 256, 128, 8
     xyz = jnp.asarray(rng.uniform(size=(B, N, 3)).astype(np.float32))
     centers = xyz[:, :M]  # includes exact-duplicate hits
     want = np.asarray(ball_query(xyz, centers, 0.2, K))
     got = np.asarray(
-        pbq.ball_query_pallas(xyz, centers, 0.2, K, tile=64, rows=8)
+        pbq.ball_query_pallas(xyz, centers, 0.2, K, tile=64)
     )
     np.testing.assert_array_equal(got, want)
 
@@ -41,7 +41,7 @@ def test_pallas_ball_query_no_neighbors(monkeypatch):
         pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
     )
     xyz = jnp.ones((1, 128, 3))
-    centers = jnp.zeros((1, 8, 3))
+    centers = jnp.zeros((1, 128, 3))
     got = np.asarray(pbq.ball_query_pallas(xyz, centers, 0.1, 4, tile=64))
     np.testing.assert_array_equal(got, 0)
 
@@ -56,11 +56,11 @@ def test_pallas_ball_query_with_padding(monkeypatch):
         pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
     )
     rng = np.random.default_rng(1)
-    B, N, M, K = 1, 200, 8, 6  # 200 % 64 != 0 -> padding path
+    B, N, M, K = 1, 200, 128, 6  # 200 % 64 != 0 -> padding path
     xyz = jnp.asarray(rng.uniform(size=(B, N, 3)).astype(np.float32))
     centers = xyz[:, :M]
     want = np.asarray(ball_query(xyz, centers, 0.25, K))
     got = np.asarray(
-        pbq.ball_query_pallas(xyz, centers, 0.25, K, tile=64, rows=8)
+        pbq.ball_query_pallas(xyz, centers, 0.25, K, tile=64)
     )
     np.testing.assert_array_equal(got, want)
