@@ -218,12 +218,16 @@ def ball_query(
         if valid_mask is not None:
             ok = ok & valid_mask[:, None, :]
         # first-K-valid-in-order selection: the cumulative count of valid
-        # entries is monotone, so the k-th neighbor's index is the first
-        # position where cumsum >= k — a binary search instead of a
-        # 40k-wide top_k sort (the hot-path win on TPU).
+        # entries is monotone, so the k-th neighbor's position equals
+        # #(n : prefix[n] < k). A fused compare+reduce over N beats both a
+        # 40k-wide top_k sort (~850 ms at SA1 scale) and a binary search
+        # (~400 ms): ~135 ms measured on v5e.
         prefix = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # (B, chunk, N)
-        idx = jax.vmap(jax.vmap(lambda p: jnp.searchsorted(p, ks)))(prefix)
-        idx = idx.astype(jnp.int32)  # (B, chunk, K); == N when k > count
+        clipped = jnp.minimum(prefix, num_samples)
+        idx = jnp.sum(
+            (clipped[..., :, None] < ks[None, None, None, :]).astype(jnp.int32),
+            axis=-2,
+        )  # (B, chunk, K); == N when k > count
         total = prefix[..., -1:]
         first = idx[..., :1]
         slot = jnp.arange(num_samples, dtype=jnp.int32)
