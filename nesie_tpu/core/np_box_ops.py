@@ -60,11 +60,71 @@ def limit_period(val, offset: float = 0.5, period: float = np.pi):
     return val - np.floor(val / period + offset) * period
 
 
-def box_collision_test(boxes_a, boxes_b):
-    """(N, 6) x (M, 6) axis-aligned minmax BEV collision matrix (the
-    dbsampler's overlap check)."""
-    ax0, ay0, ax1, ay1 = boxes_a[:, 0], boxes_a[:, 1], boxes_a[:, 3], boxes_a[:, 4]
-    bx0, by0, bx1, by1 = boxes_b[:, 0], boxes_b[:, 1], boxes_b[:, 3], boxes_b[:, 4]
-    ix = np.minimum(ax1[:, None], bx1[None]) - np.maximum(ax0[:, None], bx0[None])
-    iy = np.minimum(ay1[:, None], by1[None]) - np.maximum(ay0[:, None], by0[None])
-    return (ix > 0) & (iy > 0)
+def center_to_corner_box2d(centers, dims, angles):
+    """(N, 2) BEV centers + (N, 2) dims + (N,) yaw -> (N, 4, 2) corners
+    in consistent winding (the 2D slice of center_to_corner_box3d)."""
+    local = (
+        np.array([[-1, -1], [-1, 1], [1, 1], [1, -1]], np.float64) / 2
+    )[None] * dims[:, None, :]
+    c, s = np.cos(angles), np.sin(angles)
+    # clockwise-by-yaw, matching rotation_points_single_angle(axis=2)
+    rot = np.stack(
+        [np.stack([c, -s], -1), np.stack([s, c], -1)], axis=-2
+    )  # (N, 2, 2), applied as local @ rot
+    return np.einsum("nkj,nji->nki", local, rot) + centers[:, None, :]
+
+
+def _cross2(o, a, b):
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def box_collision_test(corners_a, corners_b):
+    """(N, 4, 2) x (M, 4, 2) rotated BEV corner collision matrix.
+
+    Reference semantics (data_augment_utils.box_collision_test): standup
+    prefilter, then convex-quad overlap = any proper edge intersection or
+    either quad's vertex inside the other. Exact edge-touching (shared
+    boundary, zero-area overlap) is treated as non-colliding.
+    """
+    corners_a = np.asarray(corners_a, np.float64)
+    corners_b = np.asarray(corners_b, np.float64)
+    N, M = len(corners_a), len(corners_b)
+    if N == 0 or M == 0:
+        return np.zeros((N, M), bool)
+
+    lo_a, hi_a = corners_a.min(1), corners_a.max(1)  # (N, 2)
+    lo_b, hi_b = corners_b.min(1), corners_b.max(1)
+    standup = np.all(
+        (np.minimum(hi_a[:, None], hi_b[None])
+         - np.maximum(lo_a[:, None], lo_b[None])) > 0,
+        axis=-1,
+    )  # (N, M)
+
+    nxt = [1, 2, 3, 0]
+    a1 = corners_a[:, None, :, None, :]          # (N, 1, 4, 1, 2)
+    a2 = corners_a[:, nxt][:, None, :, None, :]
+    b1 = corners_b[None, :, None, :, :]          # (1, M, 1, 4, 2)
+    b2 = corners_b[:, nxt][None, :, None, :, :]
+    d1 = _cross2(a1, a2, b1)
+    d2 = _cross2(a1, a2, b2)
+    d3 = _cross2(b1, b2, a1)
+    d4 = _cross2(b1, b2, a2)
+    edge_hit = np.any(
+        (d1 * d2 < 0) & (d3 * d4 < 0), axis=(2, 3)
+    )  # proper segment crossings, (N, M)
+
+    def _contains(quads, pts):
+        # quads (Q, 4, 2), pts (P, 4, 2) -> (Q, P) any point inside quad
+        e0 = quads[:, :, None, None, :]                 # (Q, 4, 1, 1, 2)
+        e1 = quads[:, nxt][:, :, None, None, :]
+        p = pts[None, None, :, :, :]                    # (1, 1, P, 4, 2)
+        cr = _cross2(e0, e1, p)                         # (Q, 4, P, 4)
+        inside = np.all(cr > 0, axis=1) | np.all(cr < 0, axis=1)  # (Q, P, 4)
+        return np.any(inside, axis=-1)
+
+    contain = _contains(corners_a, corners_b) | _contains(
+        corners_b, corners_a
+    ).T
+    return standup & (edge_hit | contain)

@@ -1,12 +1,46 @@
 """Outdoor-style augmentations (reference pipelines/transforms_3d.py's
-ObjectNoise / PointsRangeFilter / ObjectRangeFilter — unused by the indoor
-configs, kept for capability parity). Numpy host-side ops like the
-reference; the GT-paste DBSampler is intentionally out of scope (needs a
-pre-built GT database artifact).
+ObjectSample / ObjectNoise / PointsRangeFilter / ObjectRangeFilter —
+unused by the indoor configs, kept for capability parity). Numpy
+host-side ops like the reference; GT-paste sampling lives in
+data/dbsampler.py.
 """
 from __future__ import annotations
 
 import numpy as np
+
+from ..core.np_box_ops import points_in_rbbox
+
+
+def object_sample(points, boxes, labels, sampler):
+    """GT-paste: add database objects, drop original points inside them
+    (reference ObjectSample.__call__ transforms_3d.py:273-328: sampled
+    points are prepended, pasted boxes/labels appended).
+
+    Args:
+        points: (N, C); boxes: (K, 7) bottom-centered; labels: (K,) int;
+        sampler: a data.dbsampler.DataBaseSampler.
+    Returns:
+        new_points, new_boxes, new_labels.
+    """
+    ret = sampler.sample_all(boxes, labels)
+    if ret is None:
+        return points, boxes, labels
+    s_boxes = ret["gt_bboxes_3d"]
+    s_points = ret["points"]
+    keep = ~points_in_rbbox(points[:, :3], s_boxes).any(-1)
+    points = points[keep]
+    if s_points.shape[1] < points.shape[1]:  # pad extra feature channels
+        pad = np.zeros(
+            (len(s_points), points.shape[1] - s_points.shape[1]), points.dtype
+        )
+        s_points = np.concatenate([s_points, pad], axis=1)
+    else:
+        s_points = s_points[:, :points.shape[1]]
+    return (
+        np.concatenate([s_points.astype(points.dtype), points], axis=0),
+        np.concatenate([boxes, s_boxes], axis=0),
+        np.concatenate([labels, ret["gt_labels_3d"].astype(labels.dtype)]),
+    )
 
 
 def points_range_filter(points, point_range):

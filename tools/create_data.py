@@ -67,15 +67,36 @@ def prep_sunrgbd(args):
         print(f"  wrote sunrgbd_infos_{split}.pkl")
 
 
+def prep_gt_db(args):
+    from nesie_tpu.data.dbsampler import create_gt_database
+    from nesie_tpu.data.scannet_meta import CLASS_NAMES as SCANNET_CLASSES
+    from nesie_tpu.data.sunrgbd_prep import CLASS_NAMES as SUNRGBD_CLASSES
+
+    classes = SCANNET_CLASSES if args.dataset == "scannet" else SUNRGBD_CLASSES
+    info_path = Path(args.out_dir) / f"{args.dataset}_infos_train.pkl"
+    db = create_gt_database(
+        info_path, args.out_dir, args.out_dir, classes,
+        db_prefix=args.dataset,
+    )
+    print(f"  wrote {db}")
+
+
 def main():
     p = argparse.ArgumentParser(description="Preprocess raw datasets")
     p.add_argument("dataset", choices=["scannet", "sunrgbd"])
-    p.add_argument("--raw-dir", required=True)
+    p.add_argument("--raw-dir", default=None)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--splits", nargs="*", default=["train", "val"])
     p.add_argument("--splits-dir", default=None)
     p.add_argument("--label-map", default=None)
+    p.add_argument("--gt-db", action="store_true",
+                   help="build the GT-paste database from existing infos")
     args = p.parse_args()
+    if args.gt_db:
+        prep_gt_db(args)
+        return
+    if not args.raw_dir:
+        p.error("--raw-dir is required unless --gt-db")
     if args.dataset == "scannet":
         prep_scannet(args)
     else:
