@@ -257,3 +257,14 @@ class SimiScanNetScenes(ScanNetScenes):
             aug_t=aug_t,
             ulb_scan_idx=ulb_scan_idx,
         )
+
+
+# SUN RGB-D uses the same loading mechanics with its own infos file
+# (10 classes, yawed boxes, identity axis-align): the reference's
+# SUNRGBDDataset / SubSUNRGBDDataset / SimiSUNRGBDDataset
+# (sunrgbd_dataset.py, sub_sunrgbd_dataset.py, simi_sunrgbd_dataset.py:46)
+# differ from the ScanNet variants only in metadata, which lives in the
+# infos pickle here.
+SUNRGBDScenes = ScanNetScenes
+SubSUNRGBDScenes = SubScanNetScenes
+SimiSUNRGBDScenes = SimiScanNetScenes

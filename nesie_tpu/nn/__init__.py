@@ -1,7 +1,7 @@
 from .layers import PointMLP, MiniPointNet
 from .pointnet2 import PointSAModule, PointFPModule, PointNet2SASSG
 from .vote import VoteModule
-from .heads import Integral, AngleIntegral, ReliableConvBboxHead
+from .heads import Integral, AngleIntegral, BaseConvBboxHead, ReliableConvBboxHead
 from .side_pooling import SidePooling
 from .nesie_head import NesieHead
 
@@ -14,6 +14,7 @@ __all__ = [
     "VoteModule",
     "Integral",
     "AngleIntegral",
+    "BaseConvBboxHead",
     "ReliableConvBboxHead",
     "SidePooling",
     "NesieHead",

@@ -59,6 +59,47 @@ class AngleIntegral(nn.Module):
         return angle_integral_expectation(logits)
 
 
+class BaseConvBboxHead(nn.Module):
+    """Shared convs -> optional cls / reg conv branches -> two outputs.
+
+    Reference base_conv_bbox_head.py:10-130 (the original VoteNet head's
+    prediction trunk; ReliableConvBboxHead extends it with the heading
+    branch).
+    """
+
+    shared_conv_channels: Sequence[int] = (128, 128)
+    cls_conv_channels: Sequence[int] = ()
+    reg_conv_channels: Sequence[int] = ()
+    num_cls_out: int = 20
+    num_reg_out: int = 59
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        """feats: (B, P, C) -> (cls (B, P, num_cls_out),
+        reg (B, P, num_reg_out))."""
+        x = feats
+        if self.shared_conv_channels:
+            x = PointMLP(
+                self.shared_conv_channels, bias=self.bias, name="shared"
+            )(x, train=train)
+
+        xc = x
+        if self.cls_conv_channels:
+            xc = PointMLP(
+                self.cls_conv_channels, bias=self.bias, name="cls_convs"
+            )(xc, train=train)
+        cls_out = nn.Dense(self.num_cls_out, name="conv_cls")(xc)
+
+        xr = x
+        if self.reg_conv_channels:
+            xr = PointMLP(
+                self.reg_conv_channels, bias=self.bias, name="reg_convs"
+            )(xr, train=train)
+        reg_out = nn.Dense(self.num_reg_out, name="conv_reg")(xr)
+        return cls_out, reg_out
+
+
 class ReliableConvBboxHead(nn.Module):
     """Shared trunk + cls / bbox-distribution / heading branches.
 

@@ -119,3 +119,27 @@ def test_utils_env_and_metrics(tmp_path):
 
     row = json.loads((tmp_path / "metrics.jsonl").read_text().strip())
     assert row["loss"] == 1.5
+
+
+def test_base_conv_bbox_head_branches():
+    """BaseConvBboxHead (reference base_conv_bbox_head.py): shared trunk
+    then separate cls/reg branches, each an independent 1x1 conv stack."""
+    import jax
+    import jax.numpy as jnp
+    from nesie_tpu.nn import BaseConvBboxHead
+
+    head = BaseConvBboxHead(
+        shared_conv_channels=(32, 32),
+        cls_conv_channels=(16,),
+        reg_conv_channels=(),
+        num_cls_out=5,
+        num_reg_out=7,
+    )
+    x = jnp.ones((2, 64, 24))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    cls_out, reg_out = head.apply(vars_, x)
+    assert cls_out.shape == (2, 64, 5)
+    assert reg_out.shape == (2, 64, 7)
+    params = vars_["params"]
+    assert "cls_convs" in params and "reg_convs" not in params
+    assert {"shared", "conv_cls", "conv_reg"} <= set(params)
