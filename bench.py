@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 
 def main():
+    import nesie_tpu.ops.pointops as pointops
     from nesie_tpu.nn.detector import VoteNetNesie
+
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas FPS kernel (ops/pallas_fps.py): ~15% faster
+        # than the XLA loop at SA1 scale, output-identical (test_pallas_fps)
+        pointops.set_fps_impl("pallas")
 
     batch = 8
     model = VoteNetNesie()
