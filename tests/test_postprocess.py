@@ -119,3 +119,15 @@ def test_iou_opt_refines_boxes():
     assert not np.allclose(before[..., :6], after[..., :6])
     # headings untouched
     np.testing.assert_allclose(before[..., 6], after[..., 6])
+
+    # it is gradient ASCENT on the predicted IoU: the summed quality score
+    # of the refined boxes must not decrease
+    def iou_sum(bbox):
+        heading_q = jnp.zeros_like(bbox[..., 6])
+        s = model.apply(
+            variables, out, bbox[..., :3], bbox[..., 3:6], heading_q,
+            method=VoteNetNesie.quality_scores,
+        )
+        return float(jnp.sum(s))
+
+    assert iou_sum(jnp.asarray(after)) >= iou_sum(jnp.asarray(before)) - 1e-6
