@@ -22,9 +22,12 @@ def main():
     from nesie_tpu.nn.detector import VoteNetNesie
 
     if jax.default_backend() == "tpu":
-        # VMEM-resident Pallas FPS kernel (ops/pallas_fps.py): ~15% faster
-        # than the XLA loop at SA1 scale, output-identical (test_pallas_fps)
+        # VMEM-resident Pallas kernels: FPS (ops/pallas_fps.py, ~15% faster,
+        # output-identical) and the fused single-pass ball query
+        # (ops/pallas_ball_query.py, 2.5x at SA1 scale; neighbor sets can
+        # differ from the XLA path only for exact radius-boundary points)
         pointops.set_fps_impl("pallas")
+        pointops.set_ball_query_impl("pallas")
 
     batch = 8
     model = VoteNetNesie()

@@ -1,27 +1,27 @@
 """Pallas TPU kernel for radius ball query with exact reference semantics.
 
-The XLA formulation materializes a (B, M, N) distance/prefix tensor in HBM
-(~400 ms at SA1 scale). This kernel keeps the cloud VMEM-resident and
-streams it in tiles per center group:
+The XLA formulation materializes (B, M, N) intermediates in HBM — the
+distance/flag tensor, O(log N) associative-scan passes, and the
+compare-sum read — ~122 ms at SA1 scale. This kernel keeps one batch
+row's cloud VMEM-resident and fuses everything into a single pass:
 
-  per tile: d2 (8, T) -> valid -> within-tile running count via a
-  lower-triangular matmul on the MXU -> slot ids -> scatter into the
-  (8, K) output with a one-hot contraction (indices ride as f32;
-  N < 2^24 so the accumulation is exact).
+  per tile of N: d2 (8, T) -> valid flags -> running count via a
+  lower-triangular matmul on the MXU -> saturated count ``clipped`` ->
+  per-k selection ``acc_k += sum_t [clipped_t < k]`` as a lanes-reduce of
+  an (8, K, T) compare (VPU) -> early exit once every row in the group
+  saturated at K+1 (no k can change after that).
 
 Grid = (B, M/128); each cell handles 128 centers as 16 groups of 8
-sublane rows (TPU block shapes want 128 lanes). Semantics identical to
-ops.pointops.ball_query / the reference CUDA kernel (first K in index
-order, duplicate-fill with the first hit, zeros when no neighbor;
-d2 <= 0 always qualifies). Distances use the exact (a-b)^2 form — like
-the reference CUDA kernel — so radius-boundary membership can differ from
+sublane rows. Semantics identical to ops.pointops.ball_query / the
+reference CUDA kernel (ball_query_cuda.cu:36-53: first K in index order,
+duplicate-fill with the first hit, zeros when no neighbor; d2 <= 0
+always qualifies). Distances use the exact (a-b)^2 form — like the
+reference CUDA kernel — so radius-boundary membership can differ from
 the XLA path's matmul-form distances by float rounding.
 
-Status: semantics verified (interpret mode); measured 685 ms at SA1 scale
-on v5e — slower than the XLA searchsorted path (395 ms) because the
-(8, tile, K) one-hot scatter is VPU-bound. Kept for future optimization
-(per-k min-scan or larger row blocks); ops.set_ball_query_impl defaults
-to 'xla'.
+(The first version of this kernel scattered slot ids through an
+(8, T, K) one-hot contraction — 685 ms, VPU-bound with a bad layout.
+The compare-sum selection with saturation early-exit replaced it.)
 """
 from __future__ import annotations
 
@@ -45,13 +45,15 @@ def _bq_kernel(xyz_ref, ctr_ref, out_ref,
     out_ref: (1, CELL, K)."""
     n = xyz_ref.shape[2]
     K = num_samples
+    sat = K + 1
     num_tiles = n // tile
 
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
     ).astype(jnp.float32)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tile, K), 2)
+    # ks along the sublane axis of the (8, K, T) compare: (1, K, 1)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1) + 1
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, K), 1)
 
     n_groups = _CELL // _GROUP
@@ -60,8 +62,8 @@ def _bq_kernel(xyz_ref, ctr_ref, out_ref,
         cy = ctr_ref[0, 1, g, :, :]
         cz = ctr_ref[0, 2, g, :, :]
 
-        def tile_body(ti, state):
-            acc, counts = state
+        def tile_body(state):
+            ti, acc, counts = state
             sl = pl.ds(ti * tile, tile)
             x = xyz_ref[0, 0, sl].reshape(1, tile)
             y = xyz_ref[0, 1, sl].reshape(1, tile)
@@ -72,32 +74,38 @@ def _bq_kernel(xyz_ref, ctr_ref, out_ref,
             prefix = jax.lax.dot_general(
                 okf, tri, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # inclusive running count (GROUP, tile)
-            slots = counts + prefix - 1.0
-            write = ok & (slots >= 0) & (slots < K)
-            # cast to 32-bit BEFORE adding the minor dim (Mosaic only
-            # broadcasts 32-bit types into new minor dims)
-            writef = write.astype(jnp.float32)
-            onehot = (
-                (k_iota == slots.astype(jnp.int32)[:, :, None])
-            ).astype(jnp.float32) * writef[:, :, None]
-            idx_vals = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-                + ti * tile
-            ).astype(jnp.float32)
-            acc = acc + jnp.sum(idx_vals[:, :, None] * onehot, axis=1)
-            counts = counts + prefix[:, -1:]
-            return acc, counts
+            )  # inclusive running count within the tile, (GROUP, tile)
+            clipped = jnp.minimum(
+                counts + prefix.astype(jnp.int32), sat
+            )  # (GROUP, tile), saturated total count at each position
+            # acc_k += #(t : clipped_t < k); K rides the sublane axis so
+            # the reduce is over lanes
+            cmp = (clipped[:, None, :] < ks).astype(jnp.int32)  # (8, K, T)
+            acc = acc + jnp.sum(cmp, axis=-1)
+            counts = jnp.minimum(
+                counts + prefix[:, -1:].astype(jnp.int32), sat
+            )
+            return ti + 1, acc, counts
 
-        acc = jnp.zeros((_GROUP, K), jnp.float32)
-        counts = jnp.zeros((_GROUP, 1), jnp.float32)
-        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc, counts))
+        def tile_cond(state):
+            ti, _, counts = state
+            # once every row saturated, no k's count can change
+            return (ti < num_tiles) & (jnp.min(counts) < sat)
 
-        cnt = counts.astype(jnp.int32)
-        idx = acc.astype(jnp.int32)
+        acc = jnp.zeros((_GROUP, K), jnp.int32)
+        counts = jnp.zeros((_GROUP, 1), jnp.int32)
+        ti, acc, counts = jax.lax.while_loop(
+            tile_cond, tile_body, (0, acc, counts)
+        )
+        # rows that never saturated stopped at num_tiles with acc complete;
+        # rows in a group that exited early are saturated, so their acc is
+        # final too. idx == (position of k-th valid) or (ti * tile) == a
+        # too-large sentinel when k > count — both cases are overwritten by
+        # the fill rules below exactly like the N sentinel in the XLA path.
+        idx = acc
         first = idx[:, 0:1]
-        idx = jnp.where(slot_iota < cnt, idx, first)
-        idx = jnp.where(cnt > 0, idx, 0)
+        idx = jnp.where(slot_iota < counts, idx, first)  # duplicate-fill
+        idx = jnp.where(counts > 0, idx, 0)              # no neighbor
         out_ref[0, g * _GROUP : (g + 1) * _GROUP, :] = idx
 
 

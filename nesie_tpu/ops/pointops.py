@@ -199,7 +199,7 @@ def ball_query(
     """
     B, N, _ = xyz.shape
     M = centers.shape[1]
-    if _BQ_IMPL == "pallas" and valid_mask is None and M % 8 == 0:
+    if _BQ_IMPL == "pallas" and valid_mask is None and M % 128 == 0:
         from .pallas_ball_query import ball_query_pallas
 
         return ball_query_pallas(

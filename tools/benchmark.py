@@ -68,7 +68,7 @@ def bench_ops(B=8, N=40000):
            jax.jit(lambda q, s: three_nn(q, s)), grid, xyz[:, :1024])
 
 
-def bench_forward(B=8, pallas_fps=False, bf16=False):
+def bench_forward(B=8, pallas_fps=False, bf16=False, pallas_bq=False):
     import jax, jax.numpy as jnp
 
     import nesie_tpu.ops.pointops as po
@@ -76,6 +76,8 @@ def bench_forward(B=8, pallas_fps=False, bf16=False):
 
     if pallas_fps:
         po.set_fps_impl("pallas")
+    if pallas_bq:
+        po.set_ball_query_impl("pallas")
     key = jax.random.PRNGKey(0)
     pts = jax.random.uniform(key, (B, 40000, 4))
     model = VoteNetNesie(compute_dtype="bfloat16" if bf16 else None)
@@ -86,7 +88,7 @@ def bench_forward(B=8, pallas_fps=False, bf16=False):
         out = model.apply(variables, p, "seed", jax.random.PRNGKey(1), train=False)
         return out["bbox_preds"], out["iou_scores"]
 
-    tag = f"forward (pallas_fps={pallas_fps}, bf16={bf16})"
+    tag = f"forward (pallas_fps={pallas_fps}, pallas_bq={pallas_bq}, bf16={bf16})"
     dt = timeit(tag, fwd, pts, iters=10, sync_via_transfer=False)
     print(f"  -> {B / dt:.2f} scenes/s", flush=True)
 
@@ -151,6 +153,7 @@ def main():
                    choices=["ops", "forward", "train", "decode", "all"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--pallas-fps", action="store_true")
+    p.add_argument("--pallas-bq", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
@@ -161,7 +164,7 @@ def main():
     if args.what in ("ops", "all"):
         bench_ops(args.batch)
     if args.what in ("forward", "all"):
-        bench_forward(args.batch, args.pallas_fps, args.bf16)
+        bench_forward(args.batch, args.pallas_fps, args.bf16, args.pallas_bq)
     if args.what in ("train", "all"):
         bench_train()
     if args.what in ("decode", "all"):
