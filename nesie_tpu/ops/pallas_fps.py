@@ -61,11 +61,75 @@ def _fps_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
     jax.lax.fori_loop(1, num_samples, body, jnp.int32(0))
 
 
+def _fps_batched_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
+    """All batch rows in one cell: the B sequential loops collapse into
+    one whose per-step work is (B, N) instead of (1, N) — the step count
+    drops from B*M to M and the per-step cost is the same reduce latency
+    (the VPU was idle across sublanes anyway).
+
+    xyz_ref: (B, 3, N); out_ref: (B, M); dist_ref: (B, N).
+    """
+    b = xyz_ref.shape[0]
+    n = xyz_ref.shape[2]
+    m = out_ref.shape[1]
+    dist_ref[...] = jnp.full((b, n), 1e10, jnp.float32)
+    out_ref[...] = jnp.zeros((b, m), jnp.int32)  # slot 0 = index 0
+
+    x = xyz_ref[:, 0, :]  # (B, N)
+    y = xyz_ref[:, 1, :]
+    z = xyz_ref[:, 2, :]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    point_iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+    def body(i, last):
+        # last: (B, 1) int32. Masked MAX fetch of each row's selected
+        # point (no dynamic_slice in Mosaic).
+        sel = point_iota == last
+        neg = jnp.float32(-1e30)
+        lx = jnp.max(jnp.where(sel, x, neg), axis=1, keepdims=True)
+        ly = jnp.max(jnp.where(sel, y, neg), axis=1, keepdims=True)
+        lz = jnp.max(jnp.where(sel, z, neg), axis=1, keepdims=True)
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        nd = jnp.minimum(dist_ref[...], d)
+        dist_ref[...] = nd
+        # per-row argmax with first-index tie break (XLA argmax semantics)
+        mx = jnp.max(nd, axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(nd == mx, point_iota, n), axis=1, keepdims=True
+        ).astype(jnp.int32)  # (B, 1)
+        out_ref[...] = jnp.where(slot_iota == i, nxt, out_ref[...])
+        return nxt
+
+    jax.lax.fori_loop(
+        1, num_samples, body, jnp.zeros((b, 1), jnp.int32)
+    )
+
+
 def furthest_point_sample_pallas(xyz, num_samples: int):
-    """(B, N, 3) -> (B, M) int32, VMEM-resident FPS."""
+    """(B, N, 3) -> (B, M) int32, VMEM-resident FPS.
+
+    Batched kernel (one cell, all rows) when coords + distance cache fit
+    VMEM comfortably; per-row grid otherwise.
+    """
     B, N, _ = xyz.shape
-    kernel = functools.partial(_fps_kernel, num_samples=num_samples)
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    if B * 16 * N <= 64 * 1024 * 1024:  # coords + dist cache, f32
+        kernel = functools.partial(
+            _fps_batched_kernel, num_samples=num_samples
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((B, 3, N), lambda _: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, num_samples), lambda _: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+        )(xyz_t)
+    kernel = functools.partial(_fps_kernel, num_samples=num_samples)
     out = pl.pallas_call(
         kernel,
         grid=(B,),

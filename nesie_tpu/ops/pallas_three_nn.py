@@ -1,0 +1,104 @@
+"""Pallas TPU kernel for 3-nearest-neighbor search.
+
+Each grid cell computes distances for 128 queries against the whole
+(VMEM-resident) source set as one (128, N) block and runs the three
+min/argmin passes in registers — one HBM pass over the queries total.
+
+Status: measured 36.3 ms vs XLA's 36.7 ms at quality-grid scale
+(8 x 49152 queries vs 1024 sources) on v5e — XLA already fuses the
+three argmin passes well here, so this kernel is kept as a verified
+experiment, not wired into ops.three_nn. Both an 8-row-group and this
+128-row variant land at parity: the cost is reduce-latency over ~3k
+small grid cells, not HBM traffic.
+
+Semantics match ops.pointops.three_nn / the reference three_nn_cuda.cu
+best1/2/3 linear scan: euclidean distances ascending, first index wins
+ties. Distances use the exact (a-b)^2 form (the reference CUDA form);
+index choice can differ from the XLA matmul-form path by float rounding
+only when two sources are (near-)equidistant.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CELL = 128
+
+
+def _three_nn_kernel(src_ref, q_ref, dist_ref, idx_ref, *, n_real: int):
+    """src_ref: (1, 3, N); q_ref: (1, 3, 1, CELL, 1);
+    dist_ref/idx_ref: (1, CELL, 3)."""
+    n = src_ref.shape[2]
+    x = src_ref[0, 0, :].reshape(1, n)
+    y = src_ref[0, 1, :].reshape(1, n)
+    z = src_ref[0, 2, :].reshape(1, n)
+    point_iota = jax.lax.broadcasted_iota(jnp.int32, (_CELL, n), 1)
+
+    qx = q_ref[0, 0, 0, :, :]  # (CELL, 1)
+    qy = q_ref[0, 1, 0, :, :]
+    qz = q_ref[0, 2, 0, :, :]
+    d2 = (x - qx) ** 2 + (y - qy) ** 2 + (z - qz) ** 2  # (CELL, N)
+
+    dists, idxs = [], []
+    for _ in range(3):
+        mn = jnp.min(d2, axis=1, keepdims=True)          # (CELL, 1)
+        eq = d2 == mn
+        # first-index tie break, matching argmin
+        i = jnp.min(
+            jnp.where(eq, point_iota, n_real), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        dists.append(mn)
+        idxs.append(i)
+        d2 = jnp.where(point_iota == i, jnp.float32(jnp.inf), d2)
+
+    dist_ref[0] = jnp.sqrt(jnp.maximum(jnp.concatenate(dists, axis=1), 0.0))
+    idx_ref[0] = jnp.concatenate(idxs, axis=1)
+
+
+def three_nn_pallas(query, source, tile: int = 128):
+    """(B, M, 3) queries x (B, N, 3) sources -> (dist (B, M, 3) f32,
+    idx (B, M, 3) int32). M is padded to a multiple of 128 internally;
+    N to a multiple of ``tile`` with far-away points."""
+    B, M, _ = query.shape
+    N = source.shape[1]
+    m_pad = (-M) % _CELL
+    if m_pad:
+        query = jnp.concatenate(
+            [query, jnp.zeros((B, m_pad, 3), query.dtype)], axis=1
+        )
+    n_pad = (-N) % tile
+    if n_pad:
+        far = jnp.full((B, n_pad, 3), 1e9, source.dtype)
+        source = jnp.concatenate([source, far], axis=1)
+    Mp, Np = M + m_pad, N + n_pad
+
+    src_t = jnp.swapaxes(source.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    q_t = jnp.swapaxes(query.astype(jnp.float32), 1, 2)
+    q_t = q_t.reshape(B, 3, Mp // _CELL, _CELL, 1)
+    kernel = functools.partial(_three_nn_kernel, n_real=N)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(B, Mp // _CELL),
+        in_specs=[
+            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 1, _CELL, 1),
+                         lambda b, m: (b, 0, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _CELL, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CELL, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, Mp, 3), jnp.int32),
+        ],
+    )(src_t, q_t)
+    return dist[:, :M], idx[:, :M]

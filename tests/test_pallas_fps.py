@@ -27,3 +27,23 @@ def test_pallas_fps_matches_xla_interpret(monkeypatch):
     want = np.asarray(furthest_point_sample(xyz, 16))
     got = np.asarray(pf.furthest_point_sample_pallas(xyz, 16))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_batched_matches_xla(monkeypatch):
+    """The batched (one-cell) kernel path: B rows advance in lockstep."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from nesie_tpu.ops import furthest_point_sample
+    from nesie_tpu.ops import pallas_fps
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.uniform(size=(5, 200, 3)).astype(np.float32))
+    want = np.asarray(furthest_point_sample(xyz, 48))
+    got = np.asarray(pallas_fps.furthest_point_sample_pallas(xyz, 48))
+    np.testing.assert_array_equal(got, want)
