@@ -84,7 +84,12 @@ def furthest_point_sample(xyz, num_samples: int, valid_mask=None):
     if _FPS_IMPL == "pallas" and valid_mask is None:
         from .pallas_fps import furthest_point_sample_pallas
 
-        return furthest_point_sample_pallas(xyz, num_samples)
+        # indices carry no tangents, but pallas_call has no JVP rule —
+        # cut the (zero-everywhere) gradient path so the kernel works
+        # inside jax.grad (training steps)
+        return furthest_point_sample_pallas(
+            jax.lax.stop_gradient(xyz), num_samples
+        )
 
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
@@ -202,8 +207,12 @@ def ball_query(
     if _BQ_IMPL == "pallas" and valid_mask is None and M % 128 == 0:
         from .pallas_ball_query import ball_query_pallas
 
+        # same stop_gradient rationale as the Pallas FPS branch: integer
+        # outputs, but pallas_call lacks a JVP rule
         return ball_query_pallas(
-            xyz, centers, radius, num_samples, min_radius
+            jax.lax.stop_gradient(xyz),
+            jax.lax.stop_gradient(centers),
+            radius, num_samples, min_radius,
         )
     max_r2 = radius * radius
     min_r2 = min_radius * min_radius

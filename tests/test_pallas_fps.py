@@ -47,3 +47,40 @@ def test_pallas_fps_batched_matches_xla(monkeypatch):
     want = np.asarray(furthest_point_sample(xyz, 48))
     got = np.asarray(pallas_fps.furthest_point_sample_pallas(xyz, 48))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_impls_work_under_grad(monkeypatch):
+    """Pallas index kernels must be usable inside jax.grad (training):
+    indices carry no tangents, but pallas_call has no JVP rule, so the
+    dispatchers cut the gradient path. Gradients still flow through the
+    gathered features."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import nesie_tpu.ops.pointops as po
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    po.set_fps_impl("pallas")
+    po.set_ball_query_impl("pallas")
+    try:
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.uniform(size=(1, 256, 3)).astype(np.float32))
+
+        def loss(pts):
+            idx = po.furthest_point_sample(pts, 128)
+            centers = po.gather_points(pts, idx)
+            nbr = po.ball_query(pts, centers, 0.3, 8)
+            grouped = po.group_points(pts, nbr)
+            return jnp.sum(grouped * grouped)
+
+        g = jax.grad(loss)(xyz)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+    finally:
+        po.set_fps_impl("xla")
+        po.set_ball_query_impl("xla")

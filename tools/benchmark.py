@@ -93,10 +93,15 @@ def bench_forward(B=8, pallas_fps=False, bf16=False, pallas_bq=False):
     print(f"  -> {B / dt:.2f} scenes/s", flush=True)
 
 
-def bench_train(B=2):
+def bench_train(B=2, pallas: bool = True):
     import jax, jax.numpy as jnp
 
+    import nesie_tpu.ops.pointops as po
     from nesie_tpu.nn.detector import VoteNetNesie
+
+    if pallas and jax.default_backend() == "tpu":
+        po.set_fps_impl("pallas")
+        po.set_ball_query_impl("pallas")
     from nesie_tpu.train.state import (
         create_train_state, make_lr_schedule, make_optimizer,
     )
@@ -117,12 +122,12 @@ def bench_train(B=2):
     )
 
     state, m = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host transfer = true completion barrier
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
         state, m = step(state, batch, jax.random.PRNGKey(2))
-    jax.block_until_ready(m["loss"])
+        float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"supervised train step (B={B}): {dt*1000:.1f} ms "
           f"({B/dt:.2f} scenes/s)", flush=True)
