@@ -57,15 +57,22 @@ def square_distance(a, b):
 # Furthest point sampling
 # ---------------------------------------------------------------------------
 
-_FPS_IMPL = "xla"  # "xla" | "pallas" — trace-time switch
+_FPS_IMPL = "auto"  # "auto" | "xla" | "pallas" — trace-time switch
 
 
 def set_fps_impl(impl: str):
     """Select the FPS kernel ('xla' fori_loop or the VMEM-resident
-    'pallas' kernel). Takes effect at trace time; re-jit after switching."""
+    'pallas' kernel; 'auto' = pallas on TPU backends, xla elsewhere).
+    Takes effect at trace time; re-jit after switching."""
     global _FPS_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("auto", "xla", "pallas")
     _FPS_IMPL = impl
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 def furthest_point_sample(xyz, num_samples: int, valid_mask=None):
@@ -81,7 +88,7 @@ def furthest_point_sample(xyz, num_samples: int, valid_mask=None):
     Returns:
         (B, M) int32 indices.
     """
-    if _FPS_IMPL == "pallas" and valid_mask is None:
+    if _resolve_impl(_FPS_IMPL) == "pallas" and valid_mask is None:
         from .pallas_fps import furthest_point_sample_pallas
 
         # indices carry no tangents, but pallas_call has no JVP rule —
@@ -166,14 +173,15 @@ def points_sampler(xyz, features, num_point: int, mode: str = "D-FPS"):
 # Ball query
 # ---------------------------------------------------------------------------
 
-_BQ_IMPL = "xla"  # "xla" | "pallas" — trace-time switch
+_BQ_IMPL = "auto"  # "auto" | "xla" | "pallas" — trace-time switch
 
 
 def set_ball_query_impl(impl: str):
-    """Select the ball-query kernel ('xla' cumsum+searchsorted or the
-    'pallas' streaming kernel). Takes effect at trace time."""
+    """Select the ball-query kernel ('xla' scan+compare-sum or the fused
+    'pallas' kernel; 'auto' = pallas on TPU backends, xla elsewhere).
+    Takes effect at trace time."""
     global _BQ_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("auto", "xla", "pallas")
     _BQ_IMPL = impl
 
 
@@ -204,7 +212,11 @@ def ball_query(
     """
     B, N, _ = xyz.shape
     M = centers.shape[1]
-    if _BQ_IMPL == "pallas" and valid_mask is None and M % 128 == 0:
+    if (
+        _resolve_impl(_BQ_IMPL) == "pallas"
+        and valid_mask is None
+        and M % 128 == 0
+    ):
         from .pallas_ball_query import ball_query_pallas
 
         # same stop_gradient rationale as the Pallas FPS branch: integer
