@@ -133,6 +133,56 @@ def bench_train(B=2, pallas: bool = True):
           f"({B/dt:.2f} scenes/s)", flush=True)
 
 
+def bench_semi(n_labeled=4, ratio=2):
+    """Full semi-supervised step at the reference's batch shape
+    (samples_per_gpu=4, ratio=2 -> 12 scenes/step): student fwd/bwd on
+    all scenes, teacher fwd + pseudo-labels, EMA — one XLA program."""
+    import jax, jax.numpy as jnp
+
+    from nesie_tpu.data.augment import AugParams
+    from nesie_tpu.nn.detector import VoteNetNesie
+    from nesie_tpu.train.pseudo_label import PseudoLabelConfig
+    from nesie_tpu.train.semi import UlbState, make_semi_train_step
+    from nesie_tpu.train.state import (
+        create_train_state, make_lr_schedule, make_optimizer,
+    )
+
+    B = n_labeled * (1 + ratio)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (B, 40000, 4))
+    model = VoteNetNesie()
+    variables = model.init({"params": key}, pts[:1], "vote", key, train=False)
+    tx = make_optimizer(make_lr_schedule(8e-3, 100))
+    state = create_train_state(variables, tx)
+    ulb_state = UlbState.create(num_unlabeled=1201, num_classes=18)
+    step = make_semi_train_step(
+        model, tx, n_labeled=n_labeled, num_labeled_scans=120,
+        pl_cfg=PseudoLabelConfig(),
+    )
+    batch = dict(
+        points_raw_s=pts,
+        points_raw_t=jax.random.uniform(jax.random.PRNGKey(1), (B, 40000, 4)),
+        gt_boxes=jnp.zeros((B, 64, 7)).at[:, :8, 3:6].set(0.5),
+        gt_labels=jnp.zeros((B, 64), jnp.int32),
+        gt_valid=jnp.zeros((B, 64), bool).at[:, :8].set(True),
+        aug_s=AugParams.sample(jax.random.PRNGKey(2), (B,)),
+        aug_t=AugParams.identity((B,)),
+        ulb_scan_idx=jnp.arange(B, dtype=jnp.int32) % 1201,
+    )
+    state, ulb_state, m = step(state, ulb_state, batch, jax.random.PRNGKey(3))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, ulb_state, m = step(
+            state, ulb_state, batch, jax.random.PRNGKey(4)
+        )
+        float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"semi train step ({n_labeled}+{n_labeled * ratio} scenes): "
+          f"{dt*1000:.1f} ms ({B/dt:.2f} scenes/s)", flush=True)
+
+
 def bench_decode(B=8):
     import jax, jax.numpy as jnp
 
@@ -155,23 +205,42 @@ def bench_decode(B=8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="forward",
-                   choices=["ops", "forward", "train", "decode", "all"])
+                   choices=["ops", "forward", "train", "semi", "decode", "all"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--pallas-fps", action="store_true")
     p.add_argument("--pallas-bq", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     args = p.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        prof = contextlib.nullcontext()
+    with prof:
+        run(args)
+
+
+def run(args):
     if args.what in ("ops", "all"):
         bench_ops(args.batch)
     if args.what in ("forward", "all"):
         bench_forward(args.batch, args.pallas_fps, args.bf16, args.pallas_bq)
     if args.what in ("train", "all"):
         bench_train()
+    if args.what in ("semi", "all"):
+        bench_semi()
     if args.what in ("decode", "all"):
         bench_decode(args.batch)
 
