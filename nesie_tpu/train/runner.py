@@ -74,6 +74,11 @@ def init_state(cfg: ExperimentConfig, model, steps_per_epoch: int):
 
 
 class CheckpointManager:
+    """state and ulb_state ride as separate composite items so eval /
+    weights-only loads can restore just the TrainState from a semi
+    checkpoint (the reference's epoch_{n}.pth vs epoch_{n}_ema.pth split
+    collapses into one step dir — the teacher lives inside TrainState)."""
+
     def __init__(self, work_dir, max_to_keep: int = 3):
         path = Path(work_dir).absolute() / "checkpoints"
         self.mgr = ocp.CheckpointManager(
@@ -81,20 +86,29 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state, ulb_state=None):
-        payload = {"state": state}
+        items = {"state": ocp.args.StandardSave(state)}
         if ulb_state is not None:
-            payload["ulb_state"] = ulb_state
-        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+            items["ulb_state"] = ocp.args.StandardSave(ulb_state)
+        self.mgr.save(step, args=ocp.args.Composite(**items))
         self.mgr.wait_until_finished()
 
     def restore(self, state, ulb_state=None, step=None):
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return state, ulb_state, 0
-        target = {"state": state}
+        items = {"state": ocp.args.StandardRestore(state)}
         if ulb_state is not None:
-            target["ulb_state"] = ulb_state
-        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+            items["ulb_state"] = ocp.args.StandardRestore(ulb_state)
+        try:
+            restored = self.mgr.restore(step, args=ocp.args.Composite(**items))
+        except (KeyError, ValueError, FileNotFoundError):
+            # legacy layout: one 'default' item holding the payload dict
+            target = {"state": state}
+            if ulb_state is not None:
+                target["ulb_state"] = ulb_state
+            restored = self.mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
         return restored["state"], restored.get("ulb_state", ulb_state), step
 
 

@@ -1,0 +1,71 @@
+"""CheckpointManager: composite save/restore, weights-only load from a
+semi checkpoint (the tools/test.py path), legacy single-item fallback."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nesie_tpu.train.runner import CheckpointManager
+from nesie_tpu.train.semi import UlbState
+from nesie_tpu.train.state import TrainState, create_train_state
+
+
+def _tiny_state(seed=0):
+    params = {"w": jnp.full((3, 3), float(seed)), "b": jnp.zeros((3,))}
+    variables = {"params": params, "batch_stats": {"m": jnp.ones((3,))}}
+    tx = optax.adamw(1e-3)
+    return create_train_state(variables, tx)
+
+
+def test_roundtrip_with_ulb_state(tmp_path):
+    state = _tiny_state(1)._replace(step=jnp.asarray(7))
+    ulb = UlbState.create(num_unlabeled=5, num_classes=4)
+    ulb = ulb._replace(ulb_list=ulb.ulb_list + 2.0)
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(7, state, ulb)
+
+    fresh_state = _tiny_state(0)
+    fresh_ulb = UlbState.create(num_unlabeled=5, num_classes=4)
+    got_state, got_ulb, step = CheckpointManager(tmp_path).restore(
+        fresh_state, fresh_ulb
+    )
+    assert step == 7 and int(got_state.step) == 7
+    np.testing.assert_allclose(np.asarray(got_state.params["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(got_ulb.ulb_list), 2.0)
+
+
+def test_state_only_restore_from_semi_checkpoint(tmp_path):
+    """tools/test.py restores only the TrainState; a semi checkpoint also
+    contains ulb_state and must not break the eval path."""
+    state = _tiny_state(3)._replace(step=jnp.asarray(2))
+    ulb = UlbState.create(num_unlabeled=5, num_classes=4)
+    CheckpointManager(tmp_path).save(2, state, ulb)
+
+    got_state, got_ulb, step = CheckpointManager(tmp_path).restore(
+        _tiny_state(0)
+    )
+    assert step == 2
+    assert got_ulb is None
+    np.testing.assert_allclose(np.asarray(got_state.params["w"]), 3.0)
+
+
+def test_restore_empty_dir(tmp_path):
+    state = _tiny_state(0)
+    got, ulb, step = CheckpointManager(tmp_path).restore(state)
+    assert step == 0 and got is state and ulb is None
+
+
+def test_legacy_single_item_fallback(tmp_path):
+    """Checkpoints written by the previous layout (one 'default' payload
+    dict) still restore."""
+    import orbax.checkpoint as ocp
+
+    state = _tiny_state(5)._replace(step=jnp.asarray(4))
+    legacy = ocp.CheckpointManager((tmp_path / "checkpoints").absolute())
+    legacy.save(4, args=ocp.args.StandardSave({"state": state}))
+    legacy.wait_until_finished()
+    legacy.close()
+
+    got_state, _, step = CheckpointManager(tmp_path).restore(_tiny_state(0))
+    assert step == 4
+    np.testing.assert_allclose(np.asarray(got_state.params["w"]), 5.0)
