@@ -113,6 +113,8 @@ class CheckpointManager:
 
 
 def _log_metrics(step, epoch, metrics, t_step):
+    if jax.process_index() != 0:  # reference @master_only logging
+        return
     vals = {k: float(v) for k, v in metrics.items()}
     msg = ", ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items()))
     log.info("epoch %d step %d (%.2fs/it): %s", epoch, step, t_step, msg)

@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) — overrides any "
                         "site-level jax_platforms setting")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host pods "
+                        "(the reference's init_dist/NCCL bootstrap; "
+                        "coordinator/process env comes from the TPU "
+                        "runtime or JAX_COORDINATOR_ADDRESS etc.)")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dot-path overrides, e.g. optim.lr=0.004")
     return p.parse_args()
@@ -43,6 +48,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+        logging.info("jax.distributed: process %d/%d, %d local / %d global devices",
+                     jax.process_index(), jax.process_count(),
+                     jax.local_device_count(), jax.device_count())
 
     from nesie_tpu.config import apply_overrides, get_config
     from nesie_tpu.data.dataset import SimiScanNetScenes, SubScanNetScenes
