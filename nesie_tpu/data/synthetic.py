@@ -11,6 +11,22 @@ import numpy as np
 from .dataset import Scene
 
 
+def class_size_prototypes(num_classes: int = 18):
+    """Deterministic per-class size prototypes, spread over [0.3, 1.2]^3
+    on independent cycles so classes are geometrically distinguishable —
+    without this, class labels are noise and *held-out* mAP is zero by
+    construction (only memorization could ever score)."""
+    i = np.arange(num_classes)
+    return np.stack(
+        [
+            0.3 + 0.9 * ((i * 5) % num_classes) / max(num_classes - 1, 1),
+            0.3 + 0.9 * ((i * 7 + 3) % num_classes) / max(num_classes - 1, 1),
+            0.3 + 0.9 * ((i * 11 + 6) % num_classes) / max(num_classes - 1, 1),
+        ],
+        axis=1,
+    )
+
+
 def make_synthetic_scene(
     rng: np.random.Generator,
     scene_id: str,
@@ -19,12 +35,23 @@ def make_synthetic_scene(
     room: float = 6.0,
     points_per_object: int = 600,
     floor_points: int = 4000,
+    class_sizes: bool = True,
 ):
-    """Returns a Scene with pre-loaded (N, 6) points and GT boxes."""
+    """Returns a Scene with pre-loaded (N, 6) points and GT boxes.
+
+    With ``class_sizes`` (default) object dimensions come from per-class
+    prototypes plus ±15% noise, so semantic classification is learnable
+    across scenes; with ``class_sizes=False`` sizes and labels are
+    independent (the original memorization-only behavior)."""
+    protos = class_size_prototypes(num_classes)
     k = int(rng.integers(*num_objects))
     boxes, labels, clusters = [], [], []
     for _ in range(k):
-        size = rng.uniform(0.3, 1.2, 3)
+        label = int(rng.integers(0, num_classes))
+        if class_sizes:
+            size = protos[label] * rng.uniform(0.85, 1.15, 3)
+        else:
+            size = rng.uniform(0.3, 1.2, 3)
         center = np.array(
             [
                 rng.uniform(-room / 2 + 1, room / 2 - 1),
@@ -32,7 +59,6 @@ def make_synthetic_scene(
                 size[2] / 2,
             ]
         )
-        label = int(rng.integers(0, num_classes))
         # surface samples of the box
         p = rng.uniform(-0.5, 0.5, (points_per_object, 3))
         axis = rng.integers(0, 3, points_per_object)
