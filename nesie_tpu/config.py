@@ -96,6 +96,10 @@ class ExperimentConfig:
     log_interval: int = 50
     checkpoint_interval_epochs: int = 1
     work_dir: str = "work_dirs"
+    # data-parallel mesh size; None = all visible devices. data.samples_per_step
+    # is PER DEVICE (the reference's samples_per_gpu), so the global batch is
+    # samples_per_step * num_devices.
+    num_devices: Optional[int] = None
 
 
 def _override(cfg, dotted: str, value):

@@ -217,18 +217,24 @@ class SimiScanNetScenes(ScanNetScenes):
     def semi_batch(self, labeled_indices, rng,
                    strong_cfg: AugConfig = AugConfig(),
                    weak_cfg: AugConfig = WEAK_AUG,
-                   num_points: int = NUM_POINTS):
+                   num_points: int = NUM_POINTS,
+                   n_unlabeled: int | None = None):
         """One step's batch: ``len(labeled_indices)`` labeled scenes followed
-        by ``ratio * len(labeled_indices)`` random unlabeled scenes.
+        by ``n_unlabeled`` (default ``ratio * len(labeled_indices)``) random
+        unlabeled scenes. Multi-process runners pass an explicit
+        ``n_unlabeled`` to build just their contiguous slice of the global
+        [labeled...; unlabeled...] batch.
 
         Strong and weak views of the same scene are *independent* point
         subsamples (two pipeline runs in the reference).
         """
         scene_rows = [self.labeled_idx[i] for i in labeled_indices]
         n_l = len(scene_rows)
+        if n_unlabeled is None:
+            n_unlabeled = self.ratio * n_l
         ulb_rows = [
             int(rng.integers(0, self.num_unlabeled))
-            for _ in range(self.ratio * n_l)
+            for _ in range(n_unlabeled)
         ]
         all_rows = scene_rows + [self.unlabeled_idx[r] for r in ulb_rows]
 

@@ -41,3 +41,32 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params / optimizer state)."""
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_host_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Assemble a global device batch from per-process host data.
+
+    Each process passes the rows of the global batch that belong to its
+    addressable devices (all rows in single-process runs); the result is a
+    global jax.Array sharded on the leading axis. This is the TPU-native
+    equivalent of DDP's per-rank DataLoader shards (reference
+    train.py:131-139 + samples_per_gpu semantics).
+    """
+    sh = data_sharding(mesh, axis)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, batch)
+
+
+def process_local_rows(total_rows: int) -> tuple[int, int]:
+    """[lo, hi) slice of a global batch owned by this process."""
+    n_proc = jax.process_count()
+    if total_rows % n_proc:
+        raise ValueError(
+            f"global batch {total_rows} not divisible by {n_proc} processes"
+        )
+    per = total_rows // n_proc
+    pid = jax.process_index()
+    return pid * per, (pid + 1) * per

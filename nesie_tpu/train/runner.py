@@ -21,6 +21,12 @@ import orbax.checkpoint as ocp
 from nesie_tpu.config import ExperimentConfig
 from nesie_tpu.data.dataset import AugConfig, SimiScanNetScenes, SubScanNetScenes
 from nesie_tpu.nn.detector import VoteNetNesie
+from nesie_tpu.parallel import (
+    make_mesh,
+    process_local_rows,
+    replicate,
+    shard_host_batch,
+)
 from nesie_tpu.train.semi import UlbState, make_semi_train_step
 from nesie_tpu.train.state import (
     create_train_state,
@@ -85,22 +91,35 @@ class CheckpointManager:
             path, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
         )
 
-    def save(self, step: int, state, ulb_state=None):
+    def save(self, step: int, state, ulb_state=None, meta: dict | None = None):
         items = {"state": ocp.args.StandardSave(state)}
         if ulb_state is not None:
             items["ulb_state"] = ocp.args.StandardSave(ulb_state)
+        if meta is not None:
+            items["meta"] = ocp.args.JsonSave(meta)
         self.mgr.save(step, args=ocp.args.Composite(**items))
         self.mgr.wait_until_finished()
 
-    def restore(self, state, ulb_state=None, step=None):
+    def restore(self, state, ulb_state=None, step=None, mesh_size=None):
+        """Restore latest (or ``step``). When ``mesh_size`` is given and the
+        checkpoint was written under a different device count, the step
+        counter is rescaled so the epoch position is preserved (reference
+        simi_epoch_based_runner.py:220-231)."""
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return state, ulb_state, 0
         items = {"state": ocp.args.StandardRestore(state)}
         if ulb_state is not None:
             items["ulb_state"] = ocp.args.StandardRestore(ulb_state)
+        meta = {}
         try:
             restored = self.mgr.restore(step, args=ocp.args.Composite(**items))
+            try:
+                meta = self.mgr.restore(
+                    step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+                )["meta"] or {}
+            except Exception:
+                meta = {}
         except (KeyError, ValueError, FileNotFoundError):
             # legacy layout: one 'default' item holding the payload dict
             target = {"state": state}
@@ -109,7 +128,19 @@ class CheckpointManager:
             restored = self.mgr.restore(
                 step, args=ocp.args.StandardRestore(target)
             )
-        return restored["state"], restored.get("ulb_state", ulb_state), step
+        new_state = restored["state"]
+        old_size = meta.get("mesh_size")
+        if mesh_size and old_size and old_size != mesh_size:
+            rescaled = int(step * old_size / mesh_size)
+            log.info(
+                "device count changed %d -> %d: rescaling resume step %d -> %d",
+                old_size, mesh_size, step, rescaled,
+            )
+            new_state = new_state._replace(
+                step=jnp.asarray(rescaled, new_state.step.dtype)
+            )
+            step = rescaled
+        return new_state, restored.get("ulb_state", ulb_state), step
 
 
 def _log_metrics(step, epoch, metrics, t_step):
@@ -122,10 +153,19 @@ def _log_metrics(step, epoch, metrics, t_step):
 
 def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
                      load_state=None, resume: bool = False):
-    """Supervised pretrain loop (reference VoteNet phase, votenet.py:27)."""
+    """Supervised pretrain loop (reference VoteNet phase, votenet.py:27).
+
+    Runs data-parallel over a 1-D device mesh: state replicated, batches
+    sharded on the leading axis (gradient all-reduce is implicit in jit's
+    SPMD partitioning — the reference's DDP, train.py:131-139). The global
+    batch is ``samples_per_step * mesh.size``; in multi-process runs each
+    process loads only its contiguous slice of it.
+    """
     from nesie_tpu.utils import MetricsLogger, collect_env
 
-    bs = cfg.data.samples_per_step
+    mesh = make_mesh(cfg.num_devices)
+    bs = cfg.data.samples_per_step * mesh.size  # global batch
+    lo, hi = process_local_rows(bs)
     n = len(dataset)
     steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
     model = build_model(cfg)
@@ -146,11 +186,17 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
     work = Path(cfg.work_dir) / cfg.name
     ckpt = CheckpointManager(work)
     if resume:
-        state, _, at = ckpt.restore(state)
+        state, _, at = ckpt.restore(state, mesh_size=mesh.size)
         log.info("resumed from step %d", at)
+    state = replicate(state, mesh)
     mlog = MetricsLogger(work)
     log.info("env: %s", collect_env())
-    rng = np.random.default_rng(cfg.seed)
+    log.info("mesh: %d devices, %d processes, global batch %d",
+             mesh.size, jax.process_count(), bs)
+    # shared stream for the scene order (identical on every process),
+    # process-local stream for point subsampling + augmentation draws
+    order_rng = np.random.default_rng(cfg.seed)
+    rng = np.random.default_rng([cfg.seed, jax.process_index()])
     key = jax.random.PRNGKey(cfg.seed)
 
     from nesie_tpu.data.prefetch import Prefetcher
@@ -161,16 +207,16 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
             if len(idx) < bs:
                 return
             batch = dataset.train_batch(
-                idx, rng, aug_cfg=strong_aug_config(cfg),
+                idx[lo:hi], rng, aug_cfg=strong_aug_config(cfg),
                 num_points=cfg.data.num_points,
             )
             batch.pop("scene_ids", None)
-            yield batch
+            yield shard_host_batch(batch, mesh)
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
-            [rng.permutation(n) for _ in range(cfg.data.repeat)]
+            [order_rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
         for it, batch in enumerate(Prefetcher(epoch_batches(order))):
             key, sub = jax.random.split(key)
@@ -182,7 +228,8 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
                              time.perf_counter() - t0)
                 mlog.log(int(state.step), metrics)
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
-            ckpt.save(int(state.step), state)
+            ckpt.save(int(state.step), state,
+                      meta={"mesh_size": mesh.size})
     mlog.close()
     return state
 
@@ -190,10 +237,18 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
 def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
                load_state=None, resume: bool = False):
     """Semi-supervised loop (reference SimiEpochBasedRunner +
-    VoteNetNesie.forward_train)."""
+    VoteNetNesie.forward_train), data-parallel over a 1-D device mesh.
+
+    Global batch layout is [labeled x bs_global; unlabeled x ratio*bs_global]
+    sharded on the leading axis; each process loads its contiguous row
+    slice of it (labeled rows come from the shared scene order, unlabeled
+    rows are process-local random draws)."""
     from nesie_tpu.utils import MetricsLogger, collect_env
 
-    bs = cfg.data.samples_per_step
+    mesh = make_mesh(cfg.num_devices)
+    bs = cfg.data.samples_per_step * mesh.size  # global labeled batch
+    B = bs * (1 + dataset.ratio)
+    lo, hi = process_local_rows(B)
     n = dataset.num_labeled
     steps_per_epoch = max(n * cfg.data.repeat // bs, 1)
     model = build_model(cfg)
@@ -219,11 +274,17 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
     work = Path(cfg.work_dir) / cfg.name
     ckpt = CheckpointManager(work)
     if resume:
-        state, ulb_state, at = ckpt.restore(state, ulb_state)
+        state, ulb_state, at = ckpt.restore(state, ulb_state,
+                                             mesh_size=mesh.size)
         log.info("resumed from step %d", at)
+    state = replicate(state, mesh)
+    ulb_state = replicate(ulb_state, mesh)
     mlog = MetricsLogger(work)
     log.info("env: %s", collect_env())
-    rng = np.random.default_rng(cfg.seed)
+    log.info("mesh: %d devices, %d processes, global batch %d+%d",
+             mesh.size, jax.process_count(), bs, B - bs)
+    order_rng = np.random.default_rng(cfg.seed)
+    rng = np.random.default_rng([cfg.seed, jax.process_index()])
     key = jax.random.PRNGKey(cfg.seed)
 
     from nesie_tpu.data.prefetch import Prefetcher
@@ -233,15 +294,19 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
             idx = order[it * bs : (it + 1) * bs]
             if len(idx) < bs:
                 return
-            yield dataset.semi_batch(
-                idx, rng, strong_cfg=strong_aug_config(cfg),
+            # rows [lo, hi) of the global [labeled; unlabeled] batch
+            local_labeled = idx[lo:min(hi, bs)] if lo < bs else idx[:0]
+            batch = dataset.semi_batch(
+                local_labeled, rng, strong_cfg=strong_aug_config(cfg),
                 num_points=cfg.data.num_points,
+                n_unlabeled=(hi - lo) - len(local_labeled),
             )
+            yield shard_host_batch(batch, mesh)
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
-            [rng.permutation(n) for _ in range(cfg.data.repeat)]
+            [order_rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
         for it, batch in enumerate(Prefetcher(epoch_batches(order))):
             key, sub = jax.random.split(key)
@@ -253,6 +318,7 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
                              time.perf_counter() - t0)
                 mlog.log(int(state.step), metrics)
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
-            ckpt.save(int(state.step), state, ulb_state)
+            ckpt.save(int(state.step), state, ulb_state,
+                      meta={"mesh_size": mesh.size})
     mlog.close()
     return state

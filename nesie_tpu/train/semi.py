@@ -214,8 +214,21 @@ def make_semi_train_step(
         onehot = jax.nn.one_hot(pl.labels, pl_cfg.num_classes)
         hist = jnp.sum(onehot * pl.valid[..., None], axis=1)  # (B, C)
         idx = batch["ulb_scan_idx"][n_labeled:]
-        new_ulb_list = ulb_state.ulb_list.at[idx].set(hist[n_labeled:])
-        new_ulb_flag = ulb_state.ulb_flag.at[idx].set(0.0)
+        # if the same scan was drawn twice this step, keep only the last
+        # row (XLA scatter-set order is otherwise undefined — the reference
+        # iterates in python order, last write wins, votenet_nesie.py:301)
+        pos = jnp.arange(idx.shape[0])
+        last_pos = (
+            jnp.full((ulb_state.ulb_list.shape[0],), -1, pos.dtype)
+            .at[idx]
+            .max(pos)
+        )
+        idx_dedup = jnp.where(last_pos[idx] == pos, idx,
+                              ulb_state.ulb_list.shape[0])
+        new_ulb_list = ulb_state.ulb_list.at[idx_dedup].set(
+            hist[n_labeled:], mode="drop"
+        )
+        new_ulb_flag = ulb_state.ulb_flag.at[idx_dedup].set(0.0, mode="drop")
         new_ulb_state = UlbState(new_ulb_list, new_ulb_flag)
 
         def loss_fn(params):

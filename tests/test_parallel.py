@@ -76,3 +76,60 @@ def test_sharded_step_matches_single_device():
     l2 = jax.tree_util.tree_leaves(s2.params)
     worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(l1, l2))
     assert worst <= 2.5 * lr, worst
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_semi_sharded_matches_single_device(tmp_path):
+    """The PRODUCTION semi loop (train_semi) on the 8-device mesh must match
+    a single-device run with the same global batch: same data order, same
+    PRNG keys, gradient all-reduce implicit in SPMD."""
+    import dataclasses
+
+    from nesie_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+    )
+    from nesie_tpu.data.dataset import SimiScanNetScenes
+    from nesie_tpu.data.synthetic import make_synthetic_scenes
+    from nesie_tpu.train.pseudo_label import PseudoLabelConfig
+    from nesie_tpu.train.runner import train_semi
+    from nesie_tpu.train.sup_loss import NesieLossConfig
+
+    scenes = make_synthetic_scenes(
+        16, seed=3, num_classes=C, points_per_object=80, floor_points=400
+    )
+    lr = 1e-3
+
+    def run(num_devices, samples_per_step, tag):
+        ds = SimiScanNetScenes(
+            scenes=scenes, labeled_ids=[s.scene_id for s in scenes], ratio=2
+        )
+        cfg = ExperimentConfig(
+            name=f"semi-dp-{tag}",
+            mode="semi",
+            model=ModelConfig(**TINY),
+            optim=OptimConfig(lr=lr, max_epochs=1, lr_milestones=(100,)),
+            data=DataConfig(samples_per_step=samples_per_step, repeat=1,
+                            num_points=256),
+            loss=NesieLossConfig(num_classes=C),
+            pseudo=PseudoLabelConfig(num_classes=C, max_num_obj=8),
+            num_devices=num_devices,
+            log_interval=1,
+            checkpoint_interval_epochs=10,  # skip ckpt io in this test
+            work_dir=str(tmp_path),
+        )
+        return train_semi(cfg, ds)
+
+    s1 = run(1, 8, "single")   # global batch 8 labeled + 16 unlabeled
+    s8 = run(8, 1, "mesh8")    # same global batch over 8 devices
+
+    assert int(s1.step) == int(s8.step) == 2
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(l1, l8)
+    )
+    assert worst <= 5 * lr, worst

@@ -35,6 +35,11 @@ def parse_args():
                         "(the reference's init_dist/NCCL bootstrap; "
                         "coordinator/process env comes from the TPU "
                         "runtime or JAX_COORDINATOR_ADDRESS etc.)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="linear-scale lr by num_devices/8 "
+                        "(reference train.py:127-129)")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dot-path overrides, e.g. optim.lr=0.004")
     return p.parse_args()
@@ -61,8 +66,17 @@ def main():
     from nesie_tpu.train import runner
 
     cfg = get_config(args.config)
-    cfg = dataclasses.replace(cfg, seed=args.seed, work_dir=args.work_dir)
+    cfg = dataclasses.replace(cfg, seed=args.seed, work_dir=args.work_dir,
+                              num_devices=args.num_devices)
     cfg = apply_overrides(cfg, args.cfg_options)
+    if args.autoscale_lr:
+        import jax
+
+        n_dev = cfg.num_devices or jax.device_count()
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, lr=cfg.optim.lr * n_dev / 8)
+        )
+        logging.info("autoscaled lr to %g for %d devices", cfg.optim.lr, n_dev)
 
     # dump the resolved config into the work dir (reference train.py:144)
     work = Path(args.work_dir) / cfg.name
