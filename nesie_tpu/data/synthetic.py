@@ -36,13 +36,17 @@ def make_synthetic_scene(
     points_per_object: int = 600,
     floor_points: int = 4000,
     class_sizes: bool = True,
+    yaw_range: float = 0.0,
 ):
     """Returns a Scene with pre-loaded (N, 6) points and GT boxes.
 
     With ``class_sizes`` (default) object dimensions come from per-class
     prototypes plus ±15% noise, so semantic classification is learnable
     across scenes; with ``class_sizes=False`` sizes and labels are
-    independent (the original memorization-only behavior)."""
+    independent (the original memorization-only behavior).
+
+    ``yaw_range > 0`` rotates each object (points + box yaw) uniformly in
+    [-yaw_range, yaw_range] — the SUN RGB-D with_yaw=True regime."""
     protos = class_size_prototypes(num_classes)
     k = int(rng.integers(*num_objects))
     boxes, labels, clusters = [], [], []
@@ -64,8 +68,15 @@ def make_synthetic_scene(
         axis = rng.integers(0, 3, points_per_object)
         sign = rng.choice([-0.5, 0.5], points_per_object)
         p[np.arange(points_per_object), axis] = sign
-        pts = center + p * size
-        boxes.append(np.concatenate([center, size, [0.0]]))
+        yaw = float(rng.uniform(-yaw_range, yaw_range)) if yaw_range else 0.0
+        local = p * size
+        if yaw:
+            # box-frame -> world is clockwise by yaw (core/boxes.py:10-16)
+            c, s = np.cos(yaw), np.sin(yaw)
+            rot = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+            local = local @ rot.T
+        pts = center + local
+        boxes.append(np.concatenate([center, size, [yaw]]))
         labels.append(label)
         clusters.append(pts)
 

@@ -12,6 +12,7 @@ from .pointops import (
     three_interpolate,
     knn,
 )
+from .roiaware_pool import roiaware_pool3d
 
 __all__ = [
     "square_distance",
@@ -26,4 +27,5 @@ __all__ = [
     "three_nn",
     "three_interpolate",
     "knn",
+    "roiaware_pool3d",
 ]

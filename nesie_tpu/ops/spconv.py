@@ -135,6 +135,108 @@ def sparse_conv3d(x: SparseTensor, weights, bias=None, kernel_size: int = 3,
     return SparseTensor(out, out_coords, out_valid, out_grid)
 
 
+def _upsample_conv_core(x: SparseTensor, weights, out_coords, out_valid,
+                        out_grid, kernel_size: int, stride: int, bias):
+    """Shared gather core for inverse/transposed conv: fine-grid output site
+    ``o`` reads coarse input ``q`` for kernel offset ``k`` iff the forward
+    conv geometry (sparse_conv3d: in = q*stride + off_k + (stride-1)//2)
+    linked them — i.e. q = (o - off_k - c) / stride exactly."""
+    V = x.features.shape[0]
+    D, H, W = x.grid_shape
+    big_in = D * H * W
+    lin_in = jnp.where(x.valid, _linear(x.coords, x.grid_shape), big_in)
+    order = jnp.argsort(lin_in)
+    sorted_lin = lin_in[order]
+
+    c = (stride - 1) // 2
+    offsets = _kernel_offsets(kernel_size)
+    out = jnp.zeros((out_coords.shape[0], weights.shape[-1]), x.features.dtype)
+    for k in range(offsets.shape[0]):
+        t = out_coords - offsets[k] - c
+        q = t // stride
+        ok = (
+            out_valid
+            & jnp.all(t % stride == 0, axis=1)
+            & jnp.all(q >= 0, axis=1)
+            & (q[:, 0] < D) & (q[:, 1] < H) & (q[:, 2] < W)
+        )
+        q_lin = jnp.where(ok, _linear(q, x.grid_shape), big_in + 1)
+        pos = jnp.clip(jnp.searchsorted(sorted_lin, q_lin), 0, V - 1)
+        hit = ok & (sorted_lin[pos] == q_lin)
+        gathered = x.features[order[pos]] * hit[:, None]
+        out = out + jnp.dot(gathered, weights[k], preferred_element_type=out.dtype)
+    if bias is not None:
+        out = out + bias
+    return out * out_valid[:, None]
+
+
+def sparse_inverse_conv3d(x: SparseTensor, weights, ref: SparseTensor,
+                          bias=None, kernel_size: int = 3, stride: int = 2
+                          ) -> SparseTensor:
+    """SparseInverseConv3d (reference conv.py:359-388): upsamples back to the
+    active sites of the tensor that fed the matching strided conv, reusing
+    that conv's (input, output) index pairs with the roles swapped.
+
+    The reference stores the pairs in a dict keyed by ``indice_key``
+    (conv.py SparseConvolution.forward + ops.get_indice_pairs); in this
+    functional design the pre-downsample tensor ``ref`` is passed explicitly
+    and the pairs are recomputed from the same geometry, which yields the
+    identical rulebook.
+
+    Args:
+        weights: (k^3, C_in, C_out), kernel index in forward-conv order.
+        ref: the SparseTensor that was the *input* of the strided conv
+            whose downsampling this inverts (defines output sites + grid).
+    """
+    out = _upsample_conv_core(
+        x, weights, ref.coords, ref.valid, ref.grid_shape,
+        kernel_size, stride, bias,
+    )
+    return SparseTensor(out, ref.coords, ref.valid, ref.grid_shape)
+
+
+def sparse_conv_transpose3d(x: SparseTensor, weights, bias=None,
+                            kernel_size: int = 3, stride: int = 2,
+                            max_out_voxels: int | None = None
+                            ) -> SparseTensor:
+    """SparseConvTranspose3d (reference conv.py:313-336): standalone
+    transposed conv — output sites are every fine-grid site reachable from
+    an active input through the kernel (no stored index pairs), on the
+    stride-upsampled grid.
+    """
+    V = x.features.shape[0]
+    Vout = max_out_voxels or V
+    D, H, W = x.grid_shape
+    out_grid = (D * stride, H * stride, W * stride)
+    big_out = out_grid[0] * out_grid[1] * out_grid[2]
+    c = (stride - 1) // 2
+
+    # candidate output sites: q*stride + off + c over all offsets
+    offsets = _kernel_offsets(kernel_size)
+    cand = (
+        x.coords[:, None, :] * stride + offsets[None, :, :] + c
+    ).reshape(-1, 3)
+    ok = (
+        jnp.repeat(x.valid, offsets.shape[0])
+        & jnp.all(cand >= 0, axis=1)
+        & (cand[:, 0] < out_grid[0])
+        & (cand[:, 1] < out_grid[1])
+        & (cand[:, 2] < out_grid[2])
+    )
+    lin = jnp.where(ok, _linear(cand, out_grid), big_out)
+    uniq = jnp.unique(lin, size=Vout, fill_value=big_out)
+    out_valid = uniq < big_out
+    oz = uniq // (out_grid[1] * out_grid[2])
+    oy = (uniq // out_grid[2]) % out_grid[1]
+    ox = uniq % out_grid[2]
+    out_coords = jnp.stack([oz, oy, ox], axis=1).astype(jnp.int32)
+
+    out = _upsample_conv_core(
+        x, weights, out_coords, out_valid, out_grid, kernel_size, stride, bias
+    )
+    return SparseTensor(out, out_coords, out_valid, out_grid)
+
+
 def sparse_maxpool3d(x: SparseTensor, stride: int = 2,
                      max_out_voxels: int | None = None) -> SparseTensor:
     """Sparse max pooling (reference src/maxpool_cuda.cu semantics)."""

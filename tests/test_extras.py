@@ -143,3 +143,99 @@ def test_base_conv_bbox_head_branches():
     params = vars_["params"]
     assert "cls_convs" in params and "reg_convs" not in params
     assert {"shared", "conv_cls", "conv_reg"} <= set(params)
+
+
+def test_anchor_generator_matches_torch_reference_port():
+    """Oracle: a literal torch port of the reference's
+    anchors_single_range (anchor_3d_generator.py:147-211 plain,
+    :243-328 aligned) — checks meshgrid order, permute layout, per-size
+    ranges and the half-cell aligned shift."""
+    import torch
+
+    from nesie_tpu.core.anchors import (
+        AlignedAnchor3DRangeGenerator,
+        Anchor3DRangeGenerator,
+    )
+
+    def torch_single_range(feature_size, anchor_range, scale, sizes,
+                           rotations, aligned, align_corner=False):
+        anchor_range = torch.tensor(anchor_range)
+        n_extra = 1 if aligned else 0
+        z = torch.linspace(anchor_range[2], anchor_range[5],
+                           feature_size[0] + n_extra)
+        y = torch.linspace(anchor_range[1], anchor_range[4],
+                           feature_size[1] + n_extra)
+        x = torch.linspace(anchor_range[0], anchor_range[3],
+                           feature_size[2] + n_extra)
+        if aligned and not align_corner:
+            z = z + (z[1] - z[0]) / 2
+            y = y + (y[1] - y[0]) / 2
+            x = x + (x[1] - x[0]) / 2
+        if aligned:
+            z, y, x = (z[:feature_size[0]], y[:feature_size[1]],
+                       x[:feature_size[2]])
+        sizes = torch.tensor(sizes).reshape(-1, 3) * scale
+        rotations = torch.tensor(rotations)
+        rets = list(torch.meshgrid(x, y, z, rotations, indexing="ij"))
+        tile_shape = [1] * 5
+        tile_shape[-2] = int(sizes.shape[0])
+        for i in range(len(rets)):
+            rets[i] = rets[i].unsqueeze(-2).repeat(tile_shape).unsqueeze(-1)
+        sizes = sizes.reshape([1, 1, 1, -1, 1, 3])
+        tile_size_shape = list(rets[0].shape)
+        tile_size_shape[3] = 1
+        sizes = sizes.repeat(tile_size_shape)
+        rets.insert(3, sizes)
+        return torch.cat(rets, dim=-1).permute([2, 1, 0, 3, 4, 5])
+
+    ranges = [[0, -40, -3, 70, 40, 1], [0, -40, -1.8, 70, 40, 2.2]]
+    sizes = [[1.6, 3.9, 1.56], [0.6, 0.8, 1.73]]
+    fs = (2, 4, 5)
+
+    for cls, aligned in ((Anchor3DRangeGenerator, False),
+                         (AlignedAnchor3DRangeGenerator, True)):
+        gen = cls(ranges=ranges, sizes=sizes, rotations=[0, 1.5707963])
+        got = np.asarray(gen.grid_anchors([fs])[0])
+        want = torch.cat(
+            [torch_single_range(fs, r, 1, [s], [0, 1.5707963], aligned)
+             for r, s in zip(ranges, sizes)],
+            dim=-3,
+        ).reshape(-1, 7).numpy()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_anchor_generator_per_cls_layout():
+    from nesie_tpu.core.anchors import AlignedAnchor3DRangeGeneratorPerCls
+
+    gen = AlignedAnchor3DRangeGeneratorPerCls(
+        ranges=[[0, 0, -1, 8, 8, 1], [0, 0, -1, 4, 4, 1]],
+        sizes=[[1, 1, 1], [2, 2, 2]],
+        rotations=[0.0, 1.5707963],
+    )
+    per_cls = gen.grid_anchors([[(1, 4, 4), (1, 2, 2)]][0])
+    assert len(per_cls) == 1  # one level
+    a0, a1 = per_cls[0]
+    assert a0.shape == (1 * 4 * 4 * 2, 7)  # S*R*prod(fs), base-anchor-major
+    assert a1.shape == (1 * 2 * 2 * 2, 7)
+    # base-anchor-major: first half all rotation 0, second half rot ~pi/2
+    np.testing.assert_allclose(np.asarray(a0)[:16, 6], 0.0)
+    np.testing.assert_allclose(np.asarray(a0)[16:, 6], 1.5707963, rtol=1e-6)
+
+
+def test_image_projection_vis(tmp_path):
+    from nesie_tpu.eval.visualize import draw_bbox3d_on_img, project_pts_on_img
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    # camera looking along +z: simple pinhole projection matrix
+    proj = np.array(
+        [[50, 0, 32, 0], [0, 50, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    pts = np.array([[0.0, 0.0, 2.0], [0.1, 0.1, 3.0]], np.float32)
+    out = project_pts_on_img(pts, img, proj)
+    assert out.shape == img.shape and out.sum() > 0
+
+    boxes = np.array([[0, 0, 3.0, 0.5, 0.5, 0.5, 0.2]], np.float32)
+    out2 = draw_bbox3d_on_img(boxes, img, proj)
+    assert out2.sum() > 0
