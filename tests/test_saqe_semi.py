@@ -97,3 +97,78 @@ def test_depth_decode_roundtrip():
     assert pts.shape == (2, 3)
     # depth goes to the second (forward) axis in the upright frame
     np.testing.assert_allclose(pts[:, 1], [1.0, 2.0], atol=1e-6)
+
+
+def test_sunrgbd_yaw_pipeline_end_to_end(tmp_path):
+    """Full SUN RGB-D regime smoke: yawed synthetic boxes written in
+    sunrgbd infos format, loaded through the dataset, trained with the
+    SAQE pretrain config (AngleIntegral heading path) via the production
+    runner, then decoded + evaluated (reference simi_sunrgbd_dataset.py:46
+    + saqe_head.py:206-207 capability)."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "helpers"))
+    from make_tiny_dataset import make_tiny_sunrgbd
+
+    import jax
+    from nesie_tpu.config import apply_overrides, get_config
+    from nesie_tpu.data.dataset import SubScanNetScenes
+    from nesie_tpu.eval.indoor_eval import indoor_eval
+    from nesie_tpu.eval.postprocess import decode_and_nms, expand_per_class
+    from nesie_tpu.train import runner
+    from nesie_tpu.train.step import make_eval_forward
+
+    root = make_tiny_sunrgbd(tmp_path / "data", n_train=4, n_val=2)
+    cfg = get_config("saqe-votenet-sunrgbd-pretrain-010")
+    cfg = apply_overrides(cfg, [
+        "optim.max_epochs=1", "data.repeat=1", "data.num_points=512",
+        "data.samples_per_step=2", "model.num_proposal=16",
+        "model.reg_max=8", "model.num_points=(64,32,16,16)",
+        "model.num_samples=(8,8,4,4)",
+        "model.sa_channels=((16,16,32),(32,32,32),(32,32,32),(32,32,32))",
+        "model.fp_channels=((32,32),(32,32))",
+        "checkpoint_interval_epochs=10", "log_interval=1",
+    ])
+    cfg = dataclasses.replace(cfg, work_dir=str(tmp_path / "work"),
+                              num_devices=1)
+    ds = SubScanNetScenes(root, root / cfg.data.train_ann_file,
+                          root / cfg.data.label_list_file)
+    assert len(ds) >= 2
+    # GT must actually carry yaw (the with_yaw=True regime)
+    assert any(np.abs(s.boxes[:, 6]).max() > 0.1 for s in ds.scenes)
+
+    state = runner.train_supervised(cfg, ds)
+    assert int(state.step) >= 1
+
+    # decode + eval on the held-out val infos
+    model = runner.build_model(cfg)
+    val = SubScanNetScenes(
+        root, root / cfg.data.val_ann_file,
+        labeled_ids=[f"synth{i:04d}" for i in range(2)],
+    )
+    fwd = make_eval_forward(model, cfg.test.sample_mod)
+    batch = val.eval_batch(range(len(val)), np.random.default_rng(0),
+                           num_points=512)
+    out = fwd(state, jnp.asarray(batch["points"]), jax.random.PRNGKey(0))
+    decoded = decode_and_nms(
+        out, jnp.asarray(batch["points"]),
+        nms_thr=cfg.test.nms_thr, score_thr=cfg.test.score_thr,
+        use_iou_for_nms=cfg.test.use_iou_for_nms,
+    )
+    decoded = jax.tree.map(np.asarray, decoded)
+    assert np.isfinite(decoded["bbox"]).all()
+
+    gt, dt = [], []
+    for b in range(len(val)):
+        boxes, scores, labels = expand_per_class(
+            {k: v[b] for k, v in decoded.items()}
+        )
+        dt.append(dict(boxes=boxes, scores=scores, labels=labels))
+        gb = batch["gt_boxes"][b][batch["gt_valid"][b]].copy()
+        gb[:, 2] += gb[:, 5] / 2
+        gt.append(dict(boxes=gb,
+                       labels=batch["gt_labels"][b][batch["gt_valid"][b]]))
+    res = indoor_eval(gt, dt, class_names=[str(c) for c in range(10)])
+    assert "mAP_0.25" in res
