@@ -107,3 +107,48 @@ def make_synthetic_scene(
 def make_synthetic_scenes(n: int, seed: int = 0, **kw):
     rng = np.random.default_rng(seed)
     return [make_synthetic_scene(rng, f"synth{i:04d}", **kw) for i in range(n)]
+
+
+def scene_to_scannet_export(scene):
+    """Convert a synthetic Scene to the scannet_prep export dict layout
+    (gravity-centered boxes, nyu40 category id in column 6) so it can be
+    written through the real prep/infos path."""
+    from .scannet_meta import VALID_CAT_IDS
+
+    boxes = scene.boxes.copy()
+    boxes[:, 2] += boxes[:, 5] / 2  # bottom-center -> gravity center
+    cat = np.array([VALID_CAT_IDS[int(l)] for l in scene.labels], np.float32)
+    boxes = np.concatenate([boxes[:, :6], cat[:, None]], axis=1)
+    return dict(
+        points=scene.points.astype(np.float32),
+        boxes=boxes.astype(np.float32),
+        axis_align_matrix=scene.axis_align.astype(np.float32),
+    )
+
+
+def write_synthetic_scannet(out_dir, n_train: int, n_val: int, seed: int = 0,
+                            **scene_kw):
+    """Write a synthetic dataset in on-disk ScanNet format (points/*.bin +
+    infos pkls + meta_data split lists) so the full file-backed data path
+    is exercised. Returns the out_dir Path."""
+    from pathlib import Path
+
+    from .scannet_prep import write_infos
+
+    out_dir = Path(out_dir)
+    train = make_synthetic_scenes(n_train, seed=seed, **scene_kw)
+    val = make_synthetic_scenes(n_val, seed=seed + 1, **scene_kw)
+    write_infos([(s.scene_id, scene_to_scannet_export(s)) for s in train],
+                out_dir, "train")
+    write_infos([(s.scene_id, scene_to_scannet_export(s)) for s in val],
+                out_dir, "val")
+    meta = out_dir / "meta_data"
+    meta.mkdir(exist_ok=True)
+    names = [s.scene_id for s in train]
+    for frac_name, frac in (("0.05", 0.05), ("0.1", 0.1), ("0.2", 0.2),
+                            ("0.5", 0.5)):
+        k = max(2, int(round(len(names) * frac)))
+        (meta / f"scannetv2_train_{frac_name}.txt").write_text(
+            "\n".join(names[:k]) + "\n")
+    (meta / "scannetv2_train_all.txt").write_text("\n".join(names) + "\n")
+    return out_dir

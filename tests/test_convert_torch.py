@@ -3,6 +3,7 @@ state_dict converts into pytrees that exactly match the flax model's
 param/batch_stats structure and shapes."""
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from nesie_tpu.convert_torch import convert_state_dict, extract_ema
@@ -134,3 +135,59 @@ def test_extract_ema():
     sd = {"backbone.x.weight": 1, "ema_backbone_x_weight": 2}
     ema = extract_ema(sd)
     assert ema == {"backbone.x.weight": 2}
+
+
+def test_convmodule_chain_numeric_parity():
+    """NUMERIC converter validation: a real torch Conv1d(1x1)+BN1d+ReLU
+    stack (the mmcv ConvModule pattern every reference module is built
+    from) and our PointMLP must produce identical outputs after
+    _convmodule_chain weight mapping — proving the (out,in,1)->(in,out)
+    kernel transpose and BN stat mapping numerically, not just
+    structurally."""
+    import torch
+
+    import jax
+    from nesie_tpu.convert_torch import _convmodule_chain
+    from nesie_tpu.nn.layers import PointMLP
+
+    torch.manual_seed(0)
+    layers = []
+    dims = [5, 8, 6]
+    for i in range(len(dims) - 1):
+        conv = torch.nn.Conv1d(dims[i], dims[i + 1], 1, bias=False)
+        bn = torch.nn.BatchNorm1d(dims[i + 1], eps=1e-5)
+        # nontrivial running stats + affine
+        with torch.no_grad():
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.uniform_(0.5, 1.5)
+            bn.bias.uniform_(-0.3, 0.3)
+        layers.append((conv, bn))
+
+    x = torch.randn(2, dims[0], 7)
+    with torch.no_grad():
+        y = x
+        for conv, bn in layers:
+            bn.eval()
+            y = torch.relu(bn(conv(y)))
+    want = y.permute(0, 2, 1).numpy()  # channels-last
+
+    # mmcv ConvModule naming: <prefix>.layer{j}.conv/bn
+    sd = {}
+    for j, (conv, bn) in enumerate(layers):
+        sd[f"mlp.layer{j}.conv.weight"] = conv.weight.detach().numpy()
+        sd[f"mlp.layer{j}.bn.weight"] = bn.weight.detach().numpy()
+        sd[f"mlp.layer{j}.bn.bias"] = bn.bias.detach().numpy()
+        sd[f"mlp.layer{j}.bn.running_mean"] = bn.running_mean.numpy()
+        sd[f"mlp.layer{j}.bn.running_var"] = bn.running_var.numpy()
+
+    params, stats = {}, {}
+    _convmodule_chain(sd, "mlp", 2, params, stats)
+
+    model = PointMLP((8, 6))
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.permute(0, 2, 1).numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

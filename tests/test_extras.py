@@ -239,3 +239,70 @@ def test_image_projection_vis(tmp_path):
     boxes = np.array([[0, 0, 3.0, 0.5, 0.5, 0.5, 0.2]], np.float32)
     out2 = draw_bbox3d_on_img(boxes, img, proj)
     assert out2.sum() > 0
+
+
+def test_segmentor_aux_head_and_loss(rng):
+    import jax
+    from nesie_tpu.nn.segmentor import PointNet2Segmentor, encoder_decoder_loss
+
+    model = PointNet2Segmentor(
+        num_classes=5,
+        with_aux=True,
+        num_points=(32, 16, 8, 8),
+        num_samples=(8, 8, 4, 4),
+        sa_channels=((8, 8), (8, 8), (8, 8), (8, 8)),
+        fp_channels=((8, 8), (8, 8), (8, 8), (8, 8)),
+        head_channels=8,
+        dropout=0.0,
+    )
+    pts = jnp.asarray(rng.uniform(size=(2, 64, 4)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, (2, 64)).astype(np.int32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts)
+    out = model.apply(variables, pts)
+    assert out["seg_logits"].shape == (2, 64, 5)
+    assert out["aux_logits"].shape[0] == 2 and out["aux_logits"].shape[-1] == 5
+    assert out["aux_indices"].shape == out["aux_logits"].shape[:2]
+
+    def lf(params):
+        o = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, pts
+        )
+        return encoder_decoder_loss(o, labels)
+
+    loss, grads = jax.value_and_grad(lf)(variables["params"])
+    assert np.isfinite(float(loss))
+    # the aux head must receive gradient (deep supervision is live)
+    g = jax.tree_util.tree_leaves(grads["aux_cls"])
+    assert sum(float(jnp.abs(x).sum()) for x in g) > 0
+
+
+def test_slide_inference_covers_and_averages(rng):
+    from nesie_tpu.nn.segmentor import slide_inference
+
+    N, C = 500, 4
+    pts = rng.uniform(0, 4, (N, 3)).astype(np.float32)
+    feats = rng.normal(size=(N, 2)).astype(np.float32)
+    scene = np.concatenate([pts, feats], 1)
+
+    # constant-logits model: averaging over overlapping patches must
+    # return exactly that constant for every point
+    const = np.arange(C, dtype=np.float32)
+
+    def apply_fn(batch):
+        return np.broadcast_to(const, batch.shape[:2] + (C,))
+
+    out = slide_inference(scene, apply_fn, num_points=64, block_size=2.0,
+                          sample_rate=0.5, batch_size=3)
+    assert out.shape == (N, C)
+    np.testing.assert_allclose(out, np.broadcast_to(const, (N, C)), rtol=1e-6)
+
+    # patch-centered coords: every patch's point x/y must be within the
+    # block around 0 (checks the center subtraction)
+    seen = []
+
+    def apply_fn2(batch):
+        seen.append(np.abs(batch[..., :2]).max())
+        return np.zeros(batch.shape[:2] + (C,), np.float32)
+
+    slide_inference(scene, apply_fn2, num_points=64, block_size=2.0)
+    assert max(seen) <= 1.0 + 1e-3
