@@ -66,6 +66,29 @@ def main():
     logging.info("restored step %d", step)
 
     fwd = make_eval_forward(model, cfg.test.sample_mod, use_teacher=args.teacher)
+    if cfg.test.iou_opt:
+        # test-time IoU optimization (reference iou_opt_test,
+        # votenet_nesie.py:501-571; enable with test.iou_opt=true)
+        from functools import partial
+
+        from nesie_tpu.eval.iou_opt import iou_opt_boxes
+
+        base_fwd = fwd
+        refine = jax.jit(partial(
+            iou_opt_boxes, model,
+            opt_rate=cfg.test.opt_rate, opt_step=cfg.test.opt_step,
+            dataset_name=cfg.model.dataset_name,
+        ))
+
+        def fwd(state, points, key):  # noqa: F811
+            out = base_fwd(state, points, key)
+            variables = {
+                "params": state.ema_params if args.teacher else state.params,
+                "batch_stats": state.ema_batch_stats
+                if args.teacher else state.batch_stats,
+            }
+            return refine(variables, out)
+
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
