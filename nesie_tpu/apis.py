@@ -47,6 +47,7 @@ class Detector:
             self.cfg.test.sample_mod,
             sub,
             train=False,
+            with_jitter=False,
         )
         decoded = decode_and_nms(
             out,

@@ -104,9 +104,11 @@ def make_synthetic_scene(
     )
 
 
-def make_synthetic_scenes(n: int, seed: int = 0, **kw):
+def make_synthetic_scenes(n: int, seed: int = 0, prefix: str = "synth", **kw):
     rng = np.random.default_rng(seed)
-    return [make_synthetic_scene(rng, f"synth{i:04d}", **kw) for i in range(n)]
+    return [
+        make_synthetic_scene(rng, f"{prefix}{i:04d}", **kw) for i in range(n)
+    ]
 
 
 def scene_to_scannet_export(scene):
@@ -137,7 +139,11 @@ def write_synthetic_scannet(out_dir, n_train: int, n_val: int, seed: int = 0,
 
     out_dir = Path(out_dir)
     train = make_synthetic_scenes(n_train, seed=seed, **scene_kw)
-    val = make_synthetic_scenes(n_val, seed=seed + 1, **scene_kw)
+    # distinct val ids — train and val .bin files share one points/ dir,
+    # so reusing the id pattern would silently overwrite train scenes
+    val = make_synthetic_scenes(n_val, seed=seed + 1, prefix="synthval",
+                                **scene_kw)
+    assert not {s.scene_id for s in train} & {s.scene_id for s in val}
     write_infos([(s.scene_id, scene_to_scannet_export(s)) for s in train],
                 out_dir, "train")
     write_infos([(s.scene_id, scene_to_scannet_export(s)) for s in val],

@@ -79,10 +79,13 @@ class VoteNetNesie(nn.Module):
         else:
             self.bbox_head = NesieHead(sizes=self.sizes, **common)
 
-    def __call__(self, points, sample_mod: str, rng, train: bool = False):
-        """points: (B, N, in_channels). Returns head results dict."""
+    def __call__(self, points, sample_mod: str, rng, train: bool = False,
+                 with_jitter: bool = True):
+        """points: (B, N, in_channels). Returns head results dict.
+        ``with_jitter=False`` is the eval fast path (see NesieHead)."""
         feat_dict = self.backbone(points, train=train)
-        return self.bbox_head(feat_dict, sample_mod, rng, train=train)
+        return self.bbox_head(feat_dict, sample_mod, rng, train=train,
+                              with_jitter=with_jitter)
 
     def quality_scores(self, results, center, size, heading):
         """Re-run only the quality module on explicit box parameters

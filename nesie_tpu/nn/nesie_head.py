@@ -122,7 +122,16 @@ class NesieHead(nn.Module):
             num_classes=self.num_classes, reg_max=self.reg_max
         )
 
-    def __call__(self, feat_dict, sample_mod: str, rng, train: bool = False):
+    def __call__(self, feat_dict, sample_mod: str, rng, train: bool = False,
+                 with_jitter: bool = True):
+        """``with_jitter=False`` skips the jittered proposal copies through
+        the quality module. At eval (train=False) this is NUMERICALLY
+        IDENTICAL for every main-proposal output — BatchNorm uses running
+        stats, so proposals are independent — and halves the quality-module
+        cost; the jittered outputs exist only for the training losses
+        (reference nesie_head.py:178-209,369-396). Keep the default (True)
+        whenever loss terms will consume ``*_jitter`` keys or train-mode
+        BN statistics must match the reference's 2P-proposal batch."""
         assert sample_mod in ("vote", "seed", "random", "spec")
         seed_points = feat_dict["fp_xyz"][-1]
         seed_features = feat_dict["fp_features"][-1]
@@ -195,12 +204,15 @@ class NesieHead(nn.Module):
         results["bbox_probs"] = jax.nn.softmax(dist_logits, axis=-1)
 
         # --- quality module on detached, jitter-augmented boxes ---
-        rng, sub = jax.random.split(rng)
-        jitter = jitter_boxes(
-            sub, bbox_pred, self.jitter_scale, self.jitter_size_bias
-        )
-        results["jitter_bbox_preds"] = jitter
-        both = jnp.concatenate([bbox_pred, jitter], axis=1)  # (B, 2P, 7)
+        if with_jitter:
+            rng, sub = jax.random.split(rng)
+            jitter = jitter_boxes(
+                sub, bbox_pred, self.jitter_scale, self.jitter_size_bias
+            )
+            results["jitter_bbox_preds"] = jitter
+            both = jnp.concatenate([bbox_pred, jitter], axis=1)  # (B, 2P, 7)
+        else:
+            both = bbox_pred
         center = jax.lax.stop_gradient(both[..., :3])
         size = jax.lax.stop_gradient(both[..., 3:6])
         if self.dataset_name == "ScanNet":
@@ -220,7 +232,8 @@ class NesieHead(nn.Module):
         iou_scores = jax.nn.sigmoid(iou_scores)
         side_scores = jax.nn.sigmoid(side_scores)
         results["iou_scores"] = iou_scores[:, :P]
-        results["iou_scores_jitter"] = iou_scores[:, P:]
         results["side_scores"] = side_scores[:, :P]
-        results["side_scores_jitter"] = side_scores[:, P:]
+        if with_jitter:
+            results["iou_scores_jitter"] = iou_scores[:, P:]
+            results["side_scores_jitter"] = side_scores[:, P:]
         return results

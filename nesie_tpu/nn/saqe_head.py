@@ -87,7 +87,11 @@ class SAQEHead(nn.Module):
         bbox = jnp.concatenate([center, size, angles[..., None]], axis=-1)
         return surface_pred, scale, bbox, dist_logits
 
-    def __call__(self, feat_dict, sample_mod: str, rng, train: bool = False):
+    def __call__(self, feat_dict, sample_mod: str, rng, train: bool = False,
+                 with_jitter: bool = True):
+        """``with_jitter=False``: eval-only fast path — see
+        NesieHead.__call__; numerically identical main outputs when
+        train=False (running-stat BN), half the quality-module cost."""
         assert sample_mod in ("vote", "seed", "random", "spec")
         seed_points = feat_dict["fp_xyz"][-1]
         seed_features = feat_dict["fp_features"][-1]
@@ -154,11 +158,15 @@ class SAQEHead(nn.Module):
         results["bbox_preds"] = bbox_pred
         results["bbox_probs"] = jax.nn.softmax(dist_logits, axis=-1)
 
-        rng, sub = jax.random.split(rng)
-        jitter = jitter_boxes(sub, bbox_pred, self.jitter_scale, self.jitter_size_bias)
-        results["jitter_bbox_preds"] = jitter
-        results["jitter_surface_preds"] = bbox_to_surface(jitter)
-        both = jnp.concatenate([bbox_pred, jitter], axis=1)
+        if with_jitter:
+            rng, sub = jax.random.split(rng)
+            jitter = jitter_boxes(sub, bbox_pred, self.jitter_scale,
+                                  self.jitter_size_bias)
+            results["jitter_bbox_preds"] = jitter
+            results["jitter_surface_preds"] = bbox_to_surface(jitter)
+            both = jnp.concatenate([bbox_pred, jitter], axis=1)
+        else:
+            both = bbox_pred
         center = jax.lax.stop_gradient(both[..., :3])
         size = jax.lax.stop_gradient(both[..., 3:6])
         if self.dataset_name == "ScanNet":
@@ -179,11 +187,12 @@ class SAQEHead(nn.Module):
         side_scores = jax.nn.sigmoid(side_scores)
         rotate_scores = jax.nn.sigmoid(rotate_scores)
         results["iou_scores"] = iou_scores[:, :P]
-        results["iou_scores_jitter"] = iou_scores[:, P:]
         results["side_scores"] = side_scores[:, :P]
-        results["side_scores_jitter"] = side_scores[:, P:]
         results["rotate_scores"] = rotate_scores[:, :P]
-        results["rotate_scores_jitter"] = rotate_scores[:, P:]
         results["R_obj_scores"] = r_obj_scores[:, :P]
-        results["R_obj_scores_jitter"] = r_obj_scores[:, P:]
+        if with_jitter:
+            results["iou_scores_jitter"] = iou_scores[:, P:]
+            results["side_scores_jitter"] = side_scores[:, P:]
+            results["rotate_scores_jitter"] = rotate_scores[:, P:]
+            results["R_obj_scores_jitter"] = r_obj_scores[:, P:]
         return results

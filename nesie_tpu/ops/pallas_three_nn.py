@@ -29,14 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 _CELL = 128
 
 
-def _three_nn_kernel(src_ref, q_ref, dist_ref, idx_ref, *, n_real: int):
+def _three_nn_kernel(src_ref, q_ref, dist_ref, idx_ref, *, n_real: int,
+                     cell: int):
     """src_ref: (1, 3, N); q_ref: (1, 3, 1, CELL, 1);
     dist_ref/idx_ref: (1, CELL, 3)."""
     n = src_ref.shape[2]
     x = src_ref[0, 0, :].reshape(1, n)
     y = src_ref[0, 1, :].reshape(1, n)
     z = src_ref[0, 2, :].reshape(1, n)
-    point_iota = jax.lax.broadcasted_iota(jnp.int32, (_CELL, n), 1)
+    point_iota = jax.lax.broadcasted_iota(jnp.int32, (cell, n), 1)
 
     qx = q_ref[0, 0, 0, :, :]  # (CELL, 1)
     qy = q_ref[0, 1, 0, :, :]
@@ -59,13 +60,17 @@ def _three_nn_kernel(src_ref, q_ref, dist_ref, idx_ref, *, n_real: int):
     idx_ref[0] = jnp.concatenate(idxs, axis=1)
 
 
-def three_nn_pallas(query, source, tile: int = 128):
+def three_nn_pallas(query, source, tile: int = 128, cell: int = _CELL):
     """(B, M, 3) queries x (B, N, 3) sources -> (dist (B, M, 3) f32,
-    idx (B, M, 3) int32). M is padded to a multiple of 128 internally;
-    N to a multiple of ``tile`` with far-away points."""
+    idx (B, M, 3) int32). M is padded to a multiple of ``cell`` internally;
+    N to a multiple of ``tile`` with far-away points.
+
+    ``cell`` = queries per grid cell: the kernel is per-cell-overhead
+    bound at large M (see module docstring), so bigger cells amortize it
+    — d2 is (cell, N) f32 in VMEM, keep cell*N under ~2M floats."""
     B, M, _ = query.shape
     N = source.shape[1]
-    m_pad = (-M) % _CELL
+    m_pad = (-M) % cell
     if m_pad:
         query = jnp.concatenate(
             [query, jnp.zeros((B, m_pad, 3), query.dtype)], axis=1
@@ -78,22 +83,22 @@ def three_nn_pallas(query, source, tile: int = 128):
 
     src_t = jnp.swapaxes(source.astype(jnp.float32), 1, 2)  # (B, 3, N)
     q_t = jnp.swapaxes(query.astype(jnp.float32), 1, 2)
-    q_t = q_t.reshape(B, 3, Mp // _CELL, _CELL, 1)
-    kernel = functools.partial(_three_nn_kernel, n_real=N)
+    q_t = q_t.reshape(B, 3, Mp // cell, cell, 1)
+    kernel = functools.partial(_three_nn_kernel, n_real=N, cell=cell)
     dist, idx = pl.pallas_call(
         kernel,
-        grid=(B, Mp // _CELL),
+        grid=(B, Mp // cell),
         in_specs=[
             pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 1, _CELL, 1),
+            pl.BlockSpec((1, 3, 1, cell, 1),
                          lambda b, m: (b, 0, m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _CELL, 3), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, cell, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CELL, 3), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, cell, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -99,7 +99,10 @@ def make_supervised_train_step(
 
 
 def make_eval_forward(model, sample_mod: str = "seed", use_teacher: bool = False):
-    """Jitted eval forward returning the head results dict."""
+    """Jitted eval forward returning the head results dict.
+
+    Runs the with_jitter=False fast path: numerically identical main
+    outputs at eval (running-stat BN), half the quality-module cost."""
 
     @jax.jit
     def forward(state: TrainState, points, rng):
@@ -111,6 +114,7 @@ def make_eval_forward(model, sample_mod: str = "seed", use_teacher: bool = False
             sample_mod,
             rng,
             train=False,
+            with_jitter=False,
         )
 
     return forward

@@ -59,11 +59,17 @@ def vote_targets_single(points, gt_boxes, gt_valid, gt_per_seed: int = 3):
 
     iota = jnp.arange(K, dtype=jnp.int32)
     key = jnp.where(inside, iota, K)  # (N, K)
-    order = jnp.sort(key, axis=-1)  # first containing boxes first
     count = jnp.sum(inside, axis=-1)  # (N,)
 
-    first = jnp.clip(order[:, 0], 0, K - 1)
-    second = jnp.clip(order[:, 1] if K > 1 else order[:, 0], 0, K - 1)
+    # 1st/2nd containing box = two min passes over the key row (cheaper
+    # than a full 64-lane sort; key values are distinct below K, so
+    # masking the first minimum's value isolates the second)
+    first_key = jnp.min(key, axis=-1)
+    second_key = jnp.min(
+        jnp.where(key == first_key[:, None], K, key), axis=-1
+    )
+    first = jnp.clip(first_key, 0, K - 1)
+    second = jnp.clip(second_key, 0, K - 1) if K > 1 else first
     last = jnp.max(jnp.where(inside, iota, -1), axis=-1)  # last containing
     last = jnp.clip(last, 0, K - 1)
     third_ref = jnp.where(count >= 3, last, first)  # clamp-at-2 overwrite

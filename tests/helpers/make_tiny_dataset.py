@@ -31,7 +31,7 @@ def make_tiny_sunrgbd(out_dir, n_train: int = 8, n_val: int = 4, seed: int = 0):
     out_dir = Path(out_dir)
     kw = dict(num_classes=10, yaw_range=np.pi / 3)
     train = make_synthetic_scenes(n_train, seed=seed, **kw)
-    val = make_synthetic_scenes(n_val, seed=seed + 1, **kw)
+    val = make_synthetic_scenes(n_val, seed=seed + 1, prefix="synthval", **kw)
 
     def to_export(scene):
         boxes = scene.boxes.copy()

@@ -107,3 +107,24 @@ def test_supervised_loss_and_grads(model_and_vars):
         jnp.sqrt(sum(jnp.sum(g**2) for g in leaves))
     )
     assert gnorm > 0
+
+
+def test_eval_with_jitter_false_identical_main_outputs():
+    """The with_jitter=False eval fast path must produce bit-identical
+    main-proposal outputs (running-stat BN makes proposals independent;
+    the jittered half only feeds training losses)."""
+    import jax
+
+    model = VoteNetNesie(**TINY)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (2, 128, 4), jnp.float32)
+    variables = model.init({"params": key}, pts, "seed", key, train=False)
+
+    full = model.apply(variables, pts, "seed", jax.random.PRNGKey(7),
+                       train=False)
+    fast = model.apply(variables, pts, "seed", jax.random.PRNGKey(8),
+                       train=False, with_jitter=False)
+    for k in ("bbox_preds", "obj_scores", "sem_scores", "iou_scores",
+              "side_scores", "surface_pred", "aggregated_points"):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(fast[k]))
+    assert "iou_scores_jitter" not in fast

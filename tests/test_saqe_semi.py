@@ -146,7 +146,7 @@ def test_sunrgbd_yaw_pipeline_end_to_end(tmp_path):
     model = runner.build_model(cfg)
     val = SubScanNetScenes(
         root, root / cfg.data.val_ann_file,
-        labeled_ids=[f"synth{i:04d}" for i in range(2)],
+        labeled_ids=[f"synthval{i:04d}" for i in range(2)],
     )
     fwd = make_eval_forward(model, cfg.test.sample_mod)
     batch = val.eval_batch(range(len(val)), np.random.default_rng(0),

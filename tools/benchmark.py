@@ -85,7 +85,8 @@ def bench_forward(B=8, pallas_fps=False, bf16=False, pallas_bq=False):
 
     @jax.jit
     def fwd(p):
-        out = model.apply(variables, p, "seed", jax.random.PRNGKey(1), train=False)
+        out = model.apply(variables, p, "seed", jax.random.PRNGKey(1), train=False,
+                          with_jitter=False)
         return out["bbox_preds"], out["iou_scores"]
 
     tag = f"forward (pallas_fps={pallas_fps}, pallas_bq={pallas_bq}, bf16={bf16})"

@@ -19,7 +19,12 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint", help="orbax checkpoint dir")
     p.add_argument("--data-root", required=True)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="scenes per device per step")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel eval mesh size (default: all devices; "
+                        "the reference's MMDistributedDataParallel test path, "
+                        "test.py:186-191)")
     p.add_argument("--seed", type=int, default=9)
     p.add_argument("--teacher", action="store_true",
                    help="evaluate the EMA teacher weights")
@@ -89,21 +94,29 @@ def main():
             }
             return refine(variables, out)
 
+    # data-parallel eval: replicate state, shard each batch over the mesh
+    from nesie_tpu.parallel import make_mesh, replicate, shard_host_batch
+
+    mesh = make_mesh(args.num_devices)
+    state = replicate(state, mesh)
+    logging.info("eval mesh: %d devices", mesh.size)
+
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
     gt_annos, dt_annos = [], []
-    bs = args.batch_size
+    bs = args.batch_size * mesh.size  # global batch
     n = len(ds)
     for start in range(0, n, bs):
         idx = list(range(start, min(start + bs, n)))
         n_real = len(idx)
         idx = idx + [idx[-1]] * (bs - n_real)  # pad the tail batch
         batch = ds.eval_batch(idx, rng, cfg.data.num_points)
+        points = shard_host_batch(batch["points"], mesh)
         key, sub = jax.random.split(key)
-        out = fwd(state, batch["points"], sub)
+        out = fwd(state, points, sub)
         decoded = decode_and_nms(
-            out, batch["points"],
+            out, points,
             nms_thr=cfg.test.nms_thr,
             score_thr=cfg.test.score_thr,
             use_iou_for_nms=cfg.test.use_iou_for_nms,
