@@ -143,6 +143,22 @@ class CheckpointManager:
         return new_state, restored.get("ulb_state", ulb_state), step
 
 
+def weights_only_load(fresh_state, loaded_state):
+    """--load-from semantics (reference train.py load_from vs resume_from):
+    carry params/BN over, keep the fresh step counter and optimizer state
+    so the new phase starts at epoch 0. The EMA teacher starts as a CLONE
+    of the loaded student — the reference's SimiTeacherHook registers ema
+    buffers from the live parameters (simi_teacher_hook.py:47-52); its
+    pretrain checkpoints carry no EMA at all. (Resume restores the trained
+    teacher instead.)"""
+    return fresh_state._replace(
+        params=loaded_state.params,
+        batch_stats=loaded_state.batch_stats,
+        ema_params=jax.tree.map(jnp.copy, loaded_state.params),
+        ema_batch_stats=jax.tree.map(jnp.copy, loaded_state.batch_stats),
+    )
+
+
 def _log_metrics(step, epoch, metrics, t_step):
     if jax.process_index() != 0:  # reference @master_only logging
         return

@@ -69,3 +69,39 @@ def test_legacy_single_item_fallback(tmp_path):
     got_state, _, step = CheckpointManager(tmp_path).restore(_tiny_state(0))
     assert step == 4
     np.testing.assert_allclose(np.asarray(got_state.params["w"]), 5.0)
+
+
+def test_weights_only_load_clones_student_as_teacher():
+    """--load-from parity: the reference's SimiTeacherHook registers ema
+    buffers from the live (loaded) parameters (simi_teacher_hook.py:47-52)
+    — pretrain checkpoints carry no EMA — so a weights-only load must
+    clone the student into the teacher and keep the fresh optimizer/step."""
+    import jax.numpy as jnp
+
+    from nesie_tpu.train.runner import weights_only_load
+    from nesie_tpu.train.state import (
+        create_train_state, make_lr_schedule, make_optimizer,
+    )
+
+    tx = make_optimizer(make_lr_schedule(1e-3, 10))
+
+    def mk(scale):
+        variables = {
+            "params": {"w": jnp.full((3,), scale)},
+            "batch_stats": {"m": jnp.full((2,), scale * 10)},
+        }
+        return create_train_state(variables, tx)
+
+    fresh = mk(0.0)
+    loaded = mk(2.0)
+    # make the loaded checkpoint's own EMA distinct from its params
+    loaded = loaded._replace(
+        ema_params={"w": jnp.full((3,), -1.0)},
+        step=loaded.step + 100,
+    )
+    out = weights_only_load(fresh, loaded)
+    np.testing.assert_array_equal(np.asarray(out.params["w"]), 2.0)
+    # teacher == loaded student, NOT the loaded checkpoint's EMA
+    np.testing.assert_array_equal(np.asarray(out.ema_params["w"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(out.ema_batch_stats["m"]), 20.0)
+    assert int(out.step) == 0  # fresh counter

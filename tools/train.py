@@ -100,15 +100,7 @@ def main():
         state, _ = runner.init_state(cfg, model, steps_per_epoch=1)
         mgr = CheckpointManager(Path(args.load_from).parent)
         loaded, _, step = mgr.restore(state)
-        # --load-from is weights-only (reference train.py load_from vs
-        # resume_from): carry params/BN/EMA over, keep the fresh step
-        # counter and optimizer state so the new phase starts at epoch 0
-        load_state = state._replace(
-            params=loaded.params,
-            batch_stats=loaded.batch_stats,
-            ema_params=loaded.ema_params,
-            ema_batch_stats=loaded.ema_batch_stats,
-        )
+        load_state = runner.weights_only_load(state, loaded)
         logging.info("loaded weights at step %d from %s", step, args.load_from)
 
     if cfg.mode == "pretrain":

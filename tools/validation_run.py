@@ -97,6 +97,10 @@ def main():
     p.add_argument("--platform", default=None)
     p.add_argument("--report", default="PARITY_RESULTS.md",
                    help="markdown report path (relative to repo root)")
+    p.add_argument("--semi-overrides", nargs="*", default=[],
+                   help="extra cfg overrides for the semi phase only, e.g. "
+                        "pseudo.obj_thr=0.7 (the reference thresholds assume "
+                        "a strong real-data pretrain)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -129,7 +133,6 @@ def main():
     common_over = [
         f"data.num_points={args.num_points}",
         "log_interval=10",
-        "checkpoint_interval_epochs=1000",  # we checkpoint manually below
     ]
 
     # ---- phase 1: supervised pretrain on the 10% labeled split ----
@@ -140,6 +143,8 @@ def main():
         f"{int(args.pretrain_epochs*0.9)})",
         "data.samples_per_step=4",
         "data.repeat=10",
+        # checkpoint once at the end so semi-phase reruns skip the pretrain
+        f"checkpoint_interval_epochs={args.pretrain_epochs}",
     ])
     pcfg = dataclasses.replace(pcfg, seed=args.seed, num_devices=1,
                                work_dir=str(out / "work"))
@@ -148,7 +153,7 @@ def main():
     logging.info("pretrain: %d labeled scenes", len(pre_ds))
     model = runner.build_model(pcfg)
     t0 = time.time()
-    pre_state = runner.train_supervised(pcfg, pre_ds)
+    pre_state = runner.train_supervised(pcfg, pre_ds, resume=True)
     t_pre = time.time() - t0
 
     val_ds = ScanNetScenes(root, root / pcfg.data.val_ann_file)
@@ -164,7 +169,8 @@ def main():
         "optim.lr=0.004",
         "data.samples_per_step=2",
         "data.repeat=10",
-    ])
+        "checkpoint_interval_epochs=1000",  # semi variants always retrain
+    ] + args.semi_overrides)
     scfg = dataclasses.replace(scfg, seed=args.seed, num_devices=1,
                                work_dir=str(out / "work"))
     semi_ds = SimiScanNetScenes(root, root / scfg.data.train_ann_file,
@@ -172,14 +178,8 @@ def main():
                                 ratio=scfg.data.unlabeled_ratio)
     logging.info("semi: %d labeled / %d unlabeled scenes",
                  semi_ds.num_labeled, semi_ds.num_unlabeled)
-    # weights-only load, like the train CLI --load-from
     fresh, _ = runner.init_state(scfg, model, steps_per_epoch=1)
-    load_state = fresh._replace(
-        params=pre_state.params,
-        batch_stats=pre_state.batch_stats,
-        ema_params=pre_state.ema_params,
-        ema_batch_stats=pre_state.ema_batch_stats,
-    )
+    load_state = runner.weights_only_load(fresh, pre_state)
     t0 = time.time()
     semi_state = runner.train_semi(scfg, semi_ds, load_state)
     t_semi = time.time() - t0
