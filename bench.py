@@ -1,8 +1,10 @@
 """Benchmark: eval-forward throughput (scenes/sec/chip) of the flagship
-VoteNet-Nesie model on ScanNet-shaped inputs (B x 40000 x 4).
+VoteNet-Nesie model on ScanNet-shaped inputs (B x 40000 x 4), plus the
+full semi-supervised train step at the reference batch shape.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints the scored JSON line FIRST (metric name stable across rounds):
+    {"metric": "scenes/sec/chip eval forward (ScanNet 40k pts)", ...}
+then a second line for the semi train step.
 
 The reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline is reported against the driver's 3x-vs-A100 north star once a
@@ -15,6 +17,60 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def bench_semi_step():
+    """Semi-supervised train step, reference shape: 4 labeled + 8 unlabeled
+    scenes of 40k points (configs/...train-010.py samples_per_gpu=4,
+    ratio=2)."""
+    from nesie_tpu.data.augment import AugParams
+    from nesie_tpu.nn.detector import VoteNetNesie
+    from nesie_tpu.train.pseudo_label import PseudoLabelConfig
+    from nesie_tpu.train.semi import UlbState, make_semi_train_step
+    from nesie_tpu.train.state import (
+        create_train_state,
+        make_lr_schedule,
+        make_optimizer,
+    )
+    from nesie_tpu.train.sup_loss import NesieLossConfig
+
+    n_labeled, ratio = 4, 2
+    B = n_labeled * (1 + ratio)
+    model = VoteNetNesie()
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (B, 40000, 4), jnp.float32)
+    variables = model.init({"params": key}, pts[:1], "vote", key, train=False)
+    tx = make_optimizer(make_lr_schedule(8e-3, 1000))
+    state = create_train_state(variables, tx)
+    ulb_state = UlbState.create(1201, 18)
+    step = make_semi_train_step(
+        model, tx, n_labeled=n_labeled, num_labeled_scans=120,
+        loss_cfg=NesieLossConfig(), pl_cfg=PseudoLabelConfig(),
+    )
+    batch = dict(
+        points_raw_s=pts,
+        points_raw_t=jax.random.uniform(jax.random.PRNGKey(1), (B, 40000, 4)),
+        gt_boxes=jnp.zeros((B, 64, 7)).at[:, :8, 3:6].set(0.6)
+        .at[:, :8, :2].set(1.0),
+        gt_labels=jnp.zeros((B, 64), jnp.int32),
+        gt_valid=jnp.zeros((B, 64), bool).at[:, :8].set(True),
+        aug_s=AugParams.sample(jax.random.PRNGKey(2), (B,)),
+        aug_t=AugParams.identity((B,)),
+        ulb_scan_idx=jnp.arange(B, dtype=jnp.int32),
+    )
+
+    def run_sync(state, ulb_state, k):
+        state, ulb_state, metrics = step(state, ulb_state, batch, k)
+        float(metrics["loss"])  # host transfer = true completion barrier
+        return state, ulb_state
+
+    state, ulb_state = run_sync(state, ulb_state, key)  # compile
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, ulb_state = run_sync(state, ulb_state, jax.random.PRNGKey(i))
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt, dt
 
 
 def main():
@@ -37,7 +93,8 @@ def main():
 
     @jax.jit
     def forward(pts):
-        out = model.apply(variables, pts, "seed", jax.random.PRNGKey(1), train=False)
+        out = model.apply(variables, pts, "seed", jax.random.PRNGKey(1), train=False,
+                          with_jitter=False)
         # reduce to a scalar so the sync below transfers one float — on
         # tunneled backends block_until_ready alone does not actually wait
         return (
@@ -69,7 +126,22 @@ def main():
                 "unit": "scenes/sec",
                 "vs_baseline": None,
             }
-        )
+        ),
+        flush=True,
+    )
+
+    semi_sps, semi_dt = bench_semi_step()
+    print(
+        json.dumps(
+            {
+                "metric": "scenes/sec/chip semi train step (4+8 scenes, 40k pts)",
+                "value": round(semi_sps, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": None,
+                "step_ms": round(semi_dt * 1000, 1),
+            }
+        ),
+        flush=True,
     )
 
 
