@@ -179,9 +179,16 @@ def get_pseudo_labels(
     )[..., 0]  # (B, P, 6)
     quality = quality_poly(side_at_cls)
 
-    # top MAX_NUM_OBJ candidates by pos_obj * iou * mask
+    # top MAX_NUM_OBJ candidates by pos_obj * iou * mask (clamped when the
+    # model has fewer proposals than MAX_NUM_OBJ, e.g. tiny test configs —
+    # the trailing slots stay invalid)
+    k = min(cfg.max_num_obj, P)
     rank_score = pos_obj * iou_pred * final_mask
-    _, inds = jax.lax.top_k(rank_score, cfg.max_num_obj)  # (B, MAX)
+    _, inds = jax.lax.top_k(rank_score, k)  # (B, k)
+    if k < cfg.max_num_obj:
+        inds = jnp.concatenate(
+            [inds, jnp.zeros((B, cfg.max_num_obj - k), inds.dtype)], axis=1
+        )
 
     def gather(x):
         idx = inds
@@ -190,6 +197,9 @@ def get_pseudo_labels(
         return jnp.take_along_axis(x, idx, axis=1)
 
     sel_mask = gather(final_mask)
+    if k < cfg.max_num_obj:  # padded slots are never valid
+        slot = jnp.arange(cfg.max_num_obj)[None, :]
+        sel_mask = sel_mask & (slot < k)
     sel_boxes = gather(bbox)
     sel_labels = gather(argmax_cls)
     sel_quality = gather(quality)
