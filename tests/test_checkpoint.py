@@ -105,3 +105,42 @@ def test_weights_only_load_clones_student_as_teacher():
     np.testing.assert_array_equal(np.asarray(out.ema_params["w"]), 2.0)
     np.testing.assert_array_equal(np.asarray(out.ema_batch_stats["m"]), 20.0)
     assert int(out.step) == 0  # fresh counter
+
+
+def test_resume_rescales_step_on_device_count_change(tmp_path):
+    """Reference simi_epoch_based_runner.py:220-231: resuming on a
+    different device count rescales the iteration counter so the epoch
+    position (and LR schedule) stays aligned."""
+    import jax.numpy as jnp
+
+    from nesie_tpu.train.runner import CheckpointManager
+    from nesie_tpu.train.state import (
+        create_train_state, make_lr_schedule, make_optimizer,
+    )
+
+    tx = make_optimizer(make_lr_schedule(1e-3, 10))
+    variables = {"params": {"w": jnp.ones((2,))},
+                 "batch_stats": {"m": jnp.zeros((2,))}}
+    state = create_train_state(variables, tx)
+    state = state._replace(step=jnp.asarray(100, state.step.dtype))
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(100, state, meta={"mesh_size": 2})
+
+    fresh = create_train_state(variables, tx)
+    # same mesh size: no rescale
+    s_same, _, at = CheckpointManager(tmp_path).restore(fresh, mesh_size=2)
+    assert at == 100 and int(s_same.step) == 100
+    # written on 2 devices, resumed on 4: 100 * 2/4 = 50
+    s_scaled, _, at2 = CheckpointManager(tmp_path).restore(fresh, mesh_size=4)
+    assert at2 == 50 and int(s_scaled.step) == 50
+    # no mesh_size passed: untouched
+    s_raw, _, at3 = CheckpointManager(tmp_path).restore(fresh)
+    assert at3 == 100 and int(s_raw.step) == 100
+
+
+def test_process_local_rows_partitions_batch():
+    from nesie_tpu.parallel import process_local_rows
+
+    lo, hi = process_local_rows(24)  # single process: whole batch
+    assert (lo, hi) == (0, 24)
