@@ -55,10 +55,17 @@ class MetricsLogger:
     log_buffer / TextLoggerHook / TensorboardLoggerHook equivalent."""
 
     def __init__(self, work_dir, use_tensorboard: bool = True):
+        import jax
+
+        # process-0-only writes, like the reference's @master_only loggers
+        self.enabled = jax.process_index() == 0
         self.path = Path(work_dir)
+        self.tb = None
+        self.jsonl = None
+        if not self.enabled:
+            return
         self.path.mkdir(parents=True, exist_ok=True)
         self.jsonl = open(self.path / "metrics.jsonl", "a")
-        self.tb = None
         if use_tensorboard:
             try:
                 from flax.metrics import tensorboard
@@ -68,6 +75,8 @@ class MetricsLogger:
                 self.tb = None
 
     def log(self, step: int, metrics: dict):
+        if not self.enabled:
+            return
         row = {"step": step, "time": time.time()}
         row.update({k: float(v) for k, v in metrics.items()})
         self.jsonl.write(json.dumps(row) + "\n")
@@ -77,7 +86,8 @@ class MetricsLogger:
                 self.tb.scalar(k, float(v), step)
 
     def close(self):
-        self.jsonl.close()
+        if self.jsonl is not None:
+            self.jsonl.close()
         if self.tb is not None:
             self.tb.flush()
 
