@@ -16,7 +16,7 @@ def rotation_points_single_angle(points, angle, axis: int = 2):
     elif axis == 1:
         rot = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
     else:
-        rot = np.array([[1, 0, 0], [0, c, s], [0, -s, c]])
+        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
     return points @ rot
 
 
@@ -80,13 +80,21 @@ def _cross2(o, a, b):
     ) * (b[..., 0] - o[..., 0])
 
 
-def box_collision_test(corners_a, corners_b):
+def box_collision_test(corners_a, corners_b, literal_reference=False):
     """(N, 4, 2) x (M, 4, 2) rotated BEV corner collision matrix.
 
     Reference semantics (data_augment_utils.box_collision_test): standup
     prefilter, then convex-quad overlap = any proper edge intersection or
     either quad's vertex inside the other. Exact edge-touching (shared
     boundary, zero-area overlap) is treated as non-colliding.
+
+    The reference's complete-containment branch is dead code: its cross-sign
+    convention assumes the opposite winding from what the reference's own
+    ``center_to_corner_box2d`` produces, so a box fully inside another is
+    never flagged (verified against the reference in
+    tests/test_reference_oracle.py; see REFERENCE_QUIRKS.md). The default
+    here fixes that (containment counts as collision); pass
+    ``literal_reference=True`` for bit-parity with the reference.
     """
     corners_a = np.asarray(corners_a, np.float64)
     corners_b = np.asarray(corners_b, np.float64)
@@ -124,6 +132,8 @@ def box_collision_test(corners_a, corners_b):
         inside = np.all(cr > 0, axis=1) | np.all(cr < 0, axis=1)  # (Q, P, 4)
         return np.any(inside, axis=-1)
 
+    if literal_reference:
+        return standup & edge_hit
     contain = _contains(corners_a, corners_b) | _contains(
         corners_b, corners_a
     ).T

@@ -10,10 +10,14 @@ Documented deviations from the reference (see REFERENCE_QUIRKS.md):
   * class-balanced threshold lookup uses each proposal's own class
     (``acc[argmax_cls]``) — the reference indexes its flattened class array
     with class *values* (votenet_nesie.py:161), an out-of-intent indexing
-    we do not reproduce;
+    we do not reproduce by default;
   * ``classwise_acc`` uses each class's own pseudo count
     (``count[c] / max(...)``) — the reference assigns the c-th *largest*
     count to class c (votenet_nesie.py:141-147).
+
+Set ``PseudoLabelConfig.literal_reference_cbl=True`` to reproduce the
+reference's actual training behavior for both (verified numerically against
+the reference code itself in tests/test_reference_oracle.py).
 """
 from __future__ import annotations
 
@@ -39,6 +43,11 @@ class PseudoLabelConfig:
     iou_thr_cap: float = 0.35
     lhs_nms_iou: float = 0.25
     dataset_name: str = "ScanNet"
+    # Reproduce the reference's literal CBL arithmetic (sorted-count class
+    # status, votenet_nesie.py:141-147, and class-value double indexing of
+    # the per-proposal threshold, votenet_nesie.py:161) instead of the
+    # fixed-up per-class semantics. See module docstring.
+    literal_reference_cbl: bool = False
 
 
 class PseudoLabels(NamedTuple):
@@ -48,17 +57,24 @@ class PseudoLabels(NamedTuple):
     quality: jnp.ndarray  # (B, MAX_OBJ, 6) per-side quality weights
 
 
-def classwise_acc(ulb_list, ulb_flag, num_labeled: int, thresh_warmup: bool):
+def classwise_acc(ulb_list, ulb_flag, num_labeled: int, thresh_warmup: bool,
+                  literal: bool = False):
     """FlexMatch-style class-balanced learning status.
 
     Args:
         ulb_list: (num_unlabeled, C) per-scan pseudo-label class histograms.
         ulb_flag: (num_unlabeled,) 1.0 until a scan was first visited.
         num_labeled: number of labeled scans (len(lb_map)).
+        literal: assign the c-th *largest* count to class c, exactly as the
+            reference's ``classwise_acc[i] = sorted[i] / ...`` loop does
+            (votenet_nesie.py:141-147, indexing the descending-sorted counts
+            by class id).
     Returns:
         (C,) acc in [0, 1] after the x/(2-x) convexity warp.
     """
     counts = jnp.sum(ulb_list, axis=0)  # (C,)
+    if literal:
+        counts = -jnp.sort(-counts)  # descending; class c gets rank-c count
     num_unlabeled = ulb_list.shape[0]
     if thresh_warmup:
         ulb_count = 10.0 * jnp.sum(ulb_flag) * num_labeled / num_unlabeled
@@ -149,7 +165,16 @@ def get_pseudo_labels(
     argmax_cls = jnp.argmax(sem, axis=-1)  # (B, P)
 
     if cfg.use_cbl:
-        thr = acc[argmax_cls]  # own-class status (see module docstring)
+        if cfg.literal_reference_cbl:
+            # the reference's double indexing (votenet_nesie.py:161):
+            # thr[j] = acc[cls_flat[cls_flat[j]]] — class *values* index the
+            # flattened class array positionally. jnp clamps out-of-range
+            # positions (only reachable when B*P < C, where the reference
+            # itself would crash).
+            flat = argmax_cls.reshape(-1)
+            thr = acc[flat[flat]].reshape(argmax_cls.shape)
+        else:
+            thr = acc[argmax_cls]  # own-class status (see module docstring)
         cls_thr = jnp.minimum(
             cfg.cls_thr_base + cfg.cls_thr_scale * thr, cfg.cls_thr_cap
         )

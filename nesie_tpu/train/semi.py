@@ -205,6 +205,7 @@ def make_semi_train_step(
             ulb_state.ulb_flag,
             num_labeled_scans,
             pl_cfg.thresh_warmup,
+            literal=pl_cfg.literal_reference_cbl,
         )
         pl = get_pseudo_labels(teacher_out, acc, pl_cfg)
         pl_boxes = reproject_boxes(pl.boxes, batch["aug_t"], batch["aug_s"])
