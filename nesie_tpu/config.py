@@ -87,6 +87,13 @@ class ExperimentConfig:
     pseudo: PseudoLabelConfig = field(default_factory=PseudoLabelConfig)
     test: TestConfig = field(default_factory=TestConfig)
     sample_mod_train: str = "vote"
+    # Run the semi teacher's quality module on the jittered 2P proposal set
+    # like the reference does (nesie_head.py:178-209 + train-mode BN over 2P
+    # rows) even though the jitter outputs are discarded by the pseudo-label
+    # filter. False skips the jitter half for a ~13% faster semi step; the
+    # only coupling is the quality module's train-mode BN batch statistics
+    # (P vs 2P rows). A/B'd on validation_run — see REFERENCE_QUIRKS.md.
+    teacher_jitter: bool = True
     ema_momentum: float = 1e-3
     ema_warm_up: float = 10.0
     un_label_weight: float = 2.0

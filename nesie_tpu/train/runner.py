@@ -285,6 +285,7 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
         pos_distance_thr=cfg.pos_distance_thr,
         neg_distance_thr=cfg.neg_distance_thr,
         head=cfg.model.head,
+        teacher_jitter=cfg.teacher_jitter,
     )
     ulb_state = UlbState.create(dataset.num_unlabeled, cfg.model.num_classes)
     work = Path(cfg.work_dir) / cfg.name

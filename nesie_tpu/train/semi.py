@@ -139,6 +139,7 @@ def make_semi_train_step(
     pos_distance_thr: float = 0.3,
     neg_distance_thr: float = 0.6,
     head: str = "nesie",
+    teacher_jitter: bool = True,
 ):
     """Build the jitted semi-supervised step.
 
@@ -196,6 +197,7 @@ def make_semi_train_step(
             sample_mod,
             rng_t,
             train=True,
+            with_jitter=teacher_jitter,
             mutable=["batch_stats"],
         )
         teacher_out = jax.lax.stop_gradient(teacher_out)

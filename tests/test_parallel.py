@@ -135,6 +135,131 @@ def test_train_semi_sharded_matches_single_device(tmp_path):
     assert worst <= 5 * lr, worst
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_semi_step_gradients_match_single_device():
+    """Tight per-step GRADIENT equivalence for the full semi step: with
+    plain SGD(lr=1) the parameter delta IS the gradient, so sharded vs
+    single-device deltas compare the gradients directly at float32
+    reduction-noise tolerance (no Adam sign-amplification slack)."""
+    import optax
+
+    from nesie_tpu.data.augment import AugParams
+    from nesie_tpu.train.pseudo_label import PseudoLabelConfig
+    from nesie_tpu.train.semi import UlbState, make_semi_train_step
+
+    B, N = 8, 128  # 4 labeled + 4 unlabeled... (n_labeled=4 below)
+    r = np.random.RandomState(1)
+    model = VoteNetNesie(**TINY)
+    rng = jax.random.PRNGKey(0)
+    pts = jnp.asarray(r.uniform(size=(B, N, 4)).astype(np.float32))
+    variables = model.init({"params": rng}, pts, "vote", rng)
+    tx = optax.sgd(1.0)
+    step = make_semi_train_step(
+        model, tx, n_labeled=4, num_labeled_scans=8,
+        loss_cfg=NesieLossConfig(num_classes=C),
+        # permissive thresholds so pseudo labels actually flow through the
+        # unsup-loss gradients being compared
+        pl_cfg=PseudoLabelConfig(num_classes=C, max_num_obj=8,
+                                 cls_thr_base=-1e9, obj_thr=0.0,
+                                 iou_thr_base=-1.0),
+    )
+    batch = dict(
+        points_raw_s=pts,
+        points_raw_t=jnp.asarray(r.uniform(size=(B, N, 4)).astype(np.float32)),
+        gt_boxes=jnp.zeros((B, 8, 7))
+        .at[:, :2, 3:6].set(0.5)
+        .at[:, :2, :3].set(jnp.asarray(r.uniform(0.2, 0.8, (B, 2, 3)))),
+        gt_labels=jnp.zeros((B, 8), jnp.int32),
+        gt_valid=jnp.zeros((B, 8), bool).at[:, :2].set(True),
+        aug_s=AugParams.sample(jax.random.PRNGKey(2), (B,)),
+        aug_t=AugParams.identity((B,)),
+        ulb_scan_idx=jnp.arange(B, dtype=jnp.int32) % 16,
+    )
+
+    def fresh():
+        return create_train_state(jax.tree.map(jnp.copy, variables), tx)
+
+    ulb = UlbState.create(16, C)
+    s1, u1, m1 = step(fresh(), ulb, batch, jax.random.PRNGKey(3))
+
+    mesh = make_mesh(8)
+    state2 = replicate(fresh(), mesh)
+    ulb2 = replicate(UlbState.create(16, C), mesh)
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        s2, u2, m2 = step(state2, ulb2, sharded, jax.random.PRNGKey(3))
+
+    assert float(m1["num_pseudo"]) >= 16
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(u1.ulb_list),
+                                  np.asarray(u2.ulb_list))
+
+    flat1 = jax.tree_util.tree_flatten_with_path(s1.params)[0]
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    base = jax.tree_util.tree_leaves(variables["params"])
+    grads1 = [np.asarray(a) - np.asarray(p0)  # = -grad (sgd lr 1)
+              for (_, a), p0 in zip(flat1, base)]
+    grads2 = [np.asarray(b) - np.asarray(p0) for b, p0 in zip(flat2, base)]
+    global_scale = max(float(np.max(np.abs(g))) for g in grads1)
+    errs = []
+    for (path, _), g1, g2 in zip(flat1, grads1, grads2):
+        # f32 reduction-order noise (psum tree vs single-device sum) gets
+        # amplified through the global-batch BN normalizations, and the
+        # quality module's max-pools can flip subgradient routing between
+        # near-tied grid points — measured worst leaf ~1e-6 of the global
+        # gradient scale, median relative error ~1e-5. The absolute floor
+        # (1e-5 of the largest gradient entry anywhere) covers tie flips
+        # and leaves whose true gradient is numerically zero (e.g. a dense
+        # bias immediately followed by BN).
+        leaf_scale = max(float(np.max(np.abs(g1))), 1e-8)
+        diff = float(np.max(np.abs(g1 - g2)))
+        tol = max(2e-3 * leaf_scale, 1e-5 * global_scale)
+        assert diff <= tol, (jax.tree_util.keystr(path), diff, tol)
+        errs.append(diff / max(leaf_scale, 1e-5 * global_scale))
+    # measured median ~1.4e-4 (f32 noise through three BN stacks)
+    assert float(np.median(errs)) <= 5e-4, float(np.median(errs))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_eval_path_sharded_matches_single_device():
+    """The tools/test.py eval path (replicated state + shard_host_batch +
+    eval forward + decode_and_nms) must produce the same detections on an
+    8-device mesh as on one device."""
+    from nesie_tpu.eval import decode_and_nms
+    from nesie_tpu.parallel import shard_host_batch
+    from nesie_tpu.train.state import create_train_state
+    from nesie_tpu.train.step import make_eval_forward
+
+    B, N = 8, 256
+    r = np.random.RandomState(7)
+    model = VoteNetNesie(**TINY)
+    rng = jax.random.PRNGKey(0)
+    pts_np = r.uniform(size=(B, N, 4)).astype(np.float32)
+    variables = model.init({"params": rng}, jnp.asarray(pts_np), "seed", rng)
+    tx = make_optimizer(make_lr_schedule(1e-3, 10))
+    fwd = make_eval_forward(model, "seed")
+
+    def run(mesh_size):
+        mesh = make_mesh(mesh_size)
+        state = replicate(
+            create_train_state(jax.tree.map(jnp.copy, variables), tx), mesh)
+        points = shard_host_batch(pts_np, mesh)
+        out = fwd(state, points, jax.random.PRNGKey(5))
+        decoded = decode_and_nms(out, points, nms_thr=0.25, score_thr=0.0)
+        return jax.tree.map(np.asarray, decoded)
+
+    d1 = run(1)
+    d8 = run(8)
+    assert set(d1) == set(d8)
+    for k in d1:
+        if d1[k].dtype == bool or np.issubdtype(d1[k].dtype, np.integer):
+            np.testing.assert_array_equal(d1[k], d8[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(d8[k], d1[k], rtol=1e-5, atol=1e-5,
+                                       err_msg=k)
+
+
 def test_train_semi_two_processes(tmp_path):
     """REAL multi-process run of the production semi loop: 2 jax processes
     x 4 virtual CPU devices each, every process feeding its contiguous

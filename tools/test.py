@@ -107,11 +107,24 @@ def main():
     gt_annos, dt_annos = [], []
     bs = args.batch_size * mesh.size  # global batch
     n = len(ds)
-    for start in range(0, n, bs):
+
+    # prefetch the next host batch while the device computes (single-reader
+    # thread, so the shared numpy rng stays sequential / deterministic)
+    from concurrent.futures import ThreadPoolExecutor
+
+    loader = ThreadPoolExecutor(max_workers=1)
+
+    def load(start):
         idx = list(range(start, min(start + bs, n)))
         n_real = len(idx)
         idx = idx + [idx[-1]] * (bs - n_real)  # pad the tail batch
-        batch = ds.eval_batch(idx, rng, cfg.data.num_points)
+        return start, n_real, ds.eval_batch(idx, rng, cfg.data.num_points)
+
+    pending = loader.submit(load, 0)
+    while pending is not None:
+        start, n_real, batch = pending.result()
+        nxt = start + bs
+        pending = loader.submit(load, nxt) if nxt < n else None
         points = shard_host_batch(batch["points"], mesh)
         key, sub = jax.random.split(key)
         out = fwd(state, points, sub)
