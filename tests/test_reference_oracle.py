@@ -65,7 +65,29 @@ def ref_aug_utils(ref_box_np_ops):
 
 
 @pytest.fixture(scope="module")
-def ref_votenet_nesie():
+def ref_depth_boxes():
+    """The reference's real DepthInstance3DBoxes (box flip/rotate/scale/
+    translate semantics), loaded with its CUDA-op imports stubbed."""
+    refshim.install_shims()
+    for name in ("mmdet3d", "mmdet3d.core", "mmdet3d.core.points",
+                 "mmdet3d.ops", "mmdet3d.ops.iou3d"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["mmdet3d.core.points"].BasePoints = object
+    sys.modules["mmdet3d.ops"].points_in_boxes_batch = None
+    sys.modules["mmdet3d.ops.iou3d"].iou3d_cuda = None
+    load_ref("mmdet3d/core/bbox/structures/utils.py", "refboxes.utils")
+    load_ref("mmdet3d/core/bbox/structures/base_box3d.py",
+             "refboxes.base_box3d")
+    mod = load_ref("mmdet3d/core/bbox/structures/depth_box3d.py",
+                   "refboxes.depth_box3d")
+    return mod.DepthInstance3DBoxes
+
+
+@pytest.fixture(scope="module")
+def ref_votenet_nesie(ref_depth_boxes):
     single_stage = types.ModuleType("refdetectors.single_stage")
 
     class SingleStage3DDetector:  # inert base; only module funcs + bound
@@ -82,7 +104,7 @@ def ref_votenet_nesie():
     core = sys.modules["mmdet3d.core"]
     core.bbox3d2result = lambda *a, **k: None
     core.merge_aug_bboxes_3d = lambda *a, **k: None
-    core.DepthInstance3DBoxes = object
+    core.DepthInstance3DBoxes = ref_depth_boxes
     return load_ref(
         "mmdet3d/models/detectors/votenet_nesie.py",
         "refdetectors.votenet_nesie",
@@ -607,3 +629,100 @@ def test_get_pseudo_labels_default_mode_differs_only_in_thresholds(
         pl = get_pseudo_labels(
             {k: jnp.asarray(v) for k, v in fixture.items()}, acc, cfg)
         assert pl.valid.shape == (B, 64)
+
+
+def _apply_ref_aug(boxes, aug, rng):
+    """Replay one view's augmentation pipeline on reference boxes exactly
+    as RandomFlip3D + GlobalRotScaleTrans would (flips, then R -> S -> T),
+    returning (augmented boxes, img_metas dict)."""
+    meta = {"transformation_3d_flow": []}
+    if aug["flip_h"]:
+        boxes.flip("horizontal")
+        meta["transformation_3d_flow"].append("HF")
+    if aug["flip_v"]:
+        boxes.flip("vertical")
+        meta["transformation_3d_flow"].append("VF")
+    # the pipeline records rot_mat_T from rotate(angle, points)
+    # (transforms_3d.py _rot_bbox_points)
+    _, rot_mat_t = boxes.rotate(float(aug["rot"]), torch.zeros((1, 3)))
+    meta["pcd_rotation"] = rot_mat_t
+    boxes.scale(float(aug["scale"]))
+    meta["pcd_scale_factor"] = float(aug["scale"])
+    boxes.translate(torch.from_numpy(aug["trans"]))
+    meta["pcd_trans"] = aug["trans"]
+    meta["transformation_3d_flow"] += ["R", "S", "T"]
+    return boxes, meta
+
+
+def test_pseudo_box_reprojection_matches_reference(ref_votenet_nesie,
+                                                   ref_depth_boxes):
+    """Weak->strong pseudo-box reprojection: the reference's
+    transformation_bbox_preds (untransform by the teacher's img_metas, then
+    re-transform by the student's, votenet_nesie.py:310-324 + 596-634) vs
+    the port's vectorized reproject_boxes over AugParams."""
+    from nesie_tpu.data.augment import AugParams, reproject_boxes
+
+    rng = np.random.default_rng(21)
+
+    def rand_aug(flip_h, flip_v):
+        return {
+            "flip_h": flip_h,
+            "flip_v": flip_v,
+            "rot": float(rng.uniform(-0.3, 0.3)),
+            "scale": float(rng.uniform(0.85, 1.15)),
+            "trans": rng.normal(scale=0.1, size=3).astype(np.float32),
+        }
+
+    det = ref_votenet_nesie.VoteNetNesie.__new__(
+        ref_votenet_nesie.VoteNetNesie)
+
+    # cover every flip combination on both sides
+    cases = [((False, False), (True, True)),
+             ((True, False), (False, True)),
+             ((True, True), (True, False)),
+             ((False, True), (False, False))]
+    for (t_flips, s_flips) in cases:
+        raw = np.concatenate([
+            rng.uniform(-3, 3, size=(6, 2)),
+            rng.uniform(0, 1.5, size=(6, 1)),
+            rng.uniform(0.3, 1.5, size=(6, 3)),
+            rng.uniform(-np.pi, np.pi, size=(6, 1)),
+        ], axis=1).astype(np.float32)
+        aug_t = rand_aug(*t_flips)
+        aug_s = rand_aug(*s_flips)
+
+        # teacher-frame boxes + both metas, via the reference's own box ops
+        bt, meta_t = _apply_ref_aug(
+            ref_depth_boxes(torch.from_numpy(raw.copy()), box_dim=7,
+                            with_yaw=True), aug_t, rng)
+        bs_expected, meta_s = _apply_ref_aug(
+            ref_depth_boxes(torch.from_numpy(raw.copy()), box_dim=7,
+                            with_yaw=True), aug_s, rng)
+
+        out = det.transformation_bbox_preds(
+            [bt.tensor], img_metas_t=[meta_t], img_metas_s=[meta_s])
+        ref_boxes = out[0].tensor.numpy()
+
+        # the reference path round-trips to the strong frame
+        np.testing.assert_allclose(ref_boxes[:, :6],
+                                   bs_expected.tensor.numpy()[:, :6],
+                                   rtol=1e-4, atol=1e-5)
+
+        # the port's vectorized replay
+        def params(a):
+            return AugParams(
+                flip_h=jnp.asarray([a["flip_h"]]),
+                flip_v=jnp.asarray([a["flip_v"]]),
+                rot=jnp.asarray([a["rot"]]),
+                scale=jnp.asarray([a["scale"]]),
+                trans=jnp.asarray(a["trans"])[None],
+            )
+
+        got = np.asarray(reproject_boxes(
+            jnp.asarray(bt.tensor.numpy())[None], params(aug_t),
+            params(aug_s)))[0]
+        np.testing.assert_allclose(got[:, :6], ref_boxes[:, :6], rtol=1e-4,
+                                   atol=1e-5)
+        # yaw modulo 2*pi (flip composition can differ by full turns)
+        dyaw = (got[:, 6] - ref_boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
+        np.testing.assert_allclose(dyaw, 0.0, atol=1e-4)
