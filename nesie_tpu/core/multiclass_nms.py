@@ -74,7 +74,8 @@ def circle_nms(centers_scores, thresh: float, valid_mask=None):
         alive, keep = state
         i = jnp.argmax(jnp.where(alive, scores, neg_inf))
         keep = keep.at[i].set(True)
-        alive = alive & ~(d2[i] < thresh)
+        # the reference suppresses at dist <= thresh (box3d_nms.py:217)
+        alive = alive & ~(d2[i] <= thresh)
         alive = alive.at[i].set(False)
         return alive, keep
 

@@ -726,3 +726,58 @@ def test_pseudo_box_reprojection_matches_reference(ref_votenet_nesie,
         # yaw modulo 2*pi (flip composition can differ by full turns)
         dyaw = (got[:, 6] - ref_boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
         np.testing.assert_allclose(dyaw, 0.0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_box3d_nms():
+    refshim.install_shims()
+    for name in ("mmdet3d", "mmdet3d.ops", "mmdet3d.ops.iou3d",
+                 "mmdet3d.ops.iou3d.iou3d_utils"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["mmdet3d.ops.iou3d.iou3d_utils"].nms_gpu = None
+    sys.modules["mmdet3d.ops.iou3d.iou3d_utils"].nms_normal_gpu = None
+    return load_ref("mmdet3d/core/post_processing/box3d_nms.py",
+                    "ref_box3d_nms")
+
+
+def test_aligned_3d_nms_matches_reference(ref_box3d_nms):
+    from nesie_tpu.core.nms import aligned_3d_nms_mask
+
+    rng = np.random.default_rng(22)
+    n = 60
+    lo = rng.uniform(-3, 3, size=(n, 3))
+    hi = lo + rng.uniform(0.3, 1.8, size=(n, 3))
+    boxes = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, size=(n,)).astype(np.float32)
+    classes = rng.integers(0, 5, size=(n,))
+
+    pick = ref_box3d_nms.aligned_3d_nms(
+        torch.from_numpy(boxes), torch.from_numpy(scores),
+        torch.from_numpy(classes), 0.25).numpy()
+    ref_keep = np.zeros(n, bool)
+    ref_keep[pick] = True
+
+    got = np.asarray(aligned_3d_nms_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        0.25))
+    np.testing.assert_array_equal(got, ref_keep)
+
+
+def test_circle_nms_matches_reference(ref_box3d_nms):
+    from nesie_tpu.core.multiclass_nms import circle_nms
+
+    rng = np.random.default_rng(23)
+    n = 50
+    dets = np.concatenate([
+        rng.uniform(-4, 4, size=(n, 2)),
+        rng.uniform(0, 1, size=(n, 1)),
+    ], axis=1)
+    keep_idx = ref_box3d_nms.circle_nms(dets, thresh=1.0)
+    ref_keep = np.zeros(n, bool)
+    ref_keep[np.asarray(keep_idx, int)] = True
+
+    got = np.asarray(circle_nms(jnp.asarray(dets, jnp.float32), 1.0))
+    np.testing.assert_array_equal(got, ref_keep)
