@@ -85,7 +85,12 @@ def main():
         pointops.set_fps_impl("pallas")
         pointops.set_ball_query_impl("pallas")
 
-    batch = 8
+    # Batch sweep on v5e-1 (r3, solo): B=8 84.8 scenes/s, B=16 102.4,
+    # B=24 103.3, B=32 110.9, B=48 111.8, B=64 112.2 — throughput
+    # plateaus at ~112 because FPS runs in lockstep row-groups of 16
+    # (VMEM-bounded, ops/pallas_fps.py) while the MLP/bq stages amortize.
+    # B=32 sits at the knee with a 290 ms batch latency.
+    batch = 32
     model = VoteNetNesie()
     rng = jax.random.PRNGKey(0)
     points = jax.random.uniform(rng, (batch, 40000, 4), jnp.float32)

@@ -90,10 +90,13 @@ class ExperimentConfig:
     # Run the semi teacher's quality module on the jittered 2P proposal set
     # like the reference does (nesie_head.py:178-209 + train-mode BN over 2P
     # rows) even though the jitter outputs are discarded by the pseudo-label
-    # filter. False skips the jitter half for a ~13% faster semi step; the
-    # only coupling is the quality module's train-mode BN batch statistics
-    # (P vs 2P rows). A/B'd on validation_run — see REFERENCE_QUIRKS.md.
-    teacher_jitter: bool = True
+    # filter. The only coupling is the quality module's train-mode BN batch
+    # statistics (P vs 2P rows): measured via tools/jitter_delta.py the
+    # pseudo-label selections agree 99.6% and objectness is bit-identical,
+    # so the default skips the jitter half (semi step 452 -> 415 ms on
+    # v5e-1). True restores literal reference behavior — REFERENCE_QUIRKS.md
+    # item 9.
+    teacher_jitter: bool = False
     ema_momentum: float = 1e-3
     ema_warm_up: float = 10.0
     un_label_weight: float = 2.0

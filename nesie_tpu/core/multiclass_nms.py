@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from .iou import bev_corners, rotated_intersection_area_2d
+from .nms import greedy_keep_fixpoint
 
 
 def _rotated_iou_matrix(boxes5, eps=1e-8):
@@ -30,22 +31,8 @@ def nms_bev_rotated(boxes5, scores, thresh: float, valid_mask=None):
     """Greedy rotated-BEV NMS keep mask (reference iou3d nms_gpu analog)."""
     n = boxes5.shape[0]
     iou = _rotated_iou_matrix(boxes5)
-    alive = jnp.ones((n,), bool) if valid_mask is None else valid_mask
-    keep = jnp.zeros((n,), bool)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-
-    def cond(state):
-        return jnp.any(state[0])
-
-    def body(state):
-        alive, keep = state
-        i = jnp.argmax(jnp.where(alive, scores, neg_inf))
-        keep = keep.at[i].set(True)
-        alive = alive & ~(iou[i] > thresh)
-        alive = alive.at[i].set(False)
-        return alive, keep
-
-    return jax.lax.while_loop(cond, body, (alive, keep))[1]
+    valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask
+    return greedy_keep_fixpoint(iou > thresh, scores, valid)
 
 
 def circle_nms(centers_scores, thresh: float, valid_mask=None):
@@ -62,24 +49,9 @@ def circle_nms(centers_scores, thresh: float, valid_mask=None):
     xy = centers_scores[:, :2]
     scores = centers_scores[:, 2]
     d2 = jnp.sum((xy[:, None] - xy[None, :]) ** 2, axis=-1)
-
-    alive = jnp.ones((n,), bool) if valid_mask is None else valid_mask
-    keep = jnp.zeros((n,), bool)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-
-    def cond(state):
-        return jnp.any(state[0])
-
-    def body(state):
-        alive, keep = state
-        i = jnp.argmax(jnp.where(alive, scores, neg_inf))
-        keep = keep.at[i].set(True)
-        # the reference suppresses at dist <= thresh (box3d_nms.py:217)
-        alive = alive & ~(d2[i] <= thresh)
-        alive = alive.at[i].set(False)
-        return alive, keep
-
-    return jax.lax.while_loop(cond, body, (alive, keep))[1]
+    valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask
+    # the reference suppresses at dist <= thresh (box3d_nms.py:217)
+    return greedy_keep_fixpoint(d2 <= thresh, scores, valid)
 
 
 def box3d_multiclass_nms(

@@ -1,14 +1,80 @@
-"""3D NMS as fixed-shape masked loops (jit-friendly).
+"""3D NMS, jit-friendly and batch-parallel.
 
 ``aligned_3d_nms_mask`` reproduces the reference's ``aligned_3d_nms``
 (reference mmdet3d/core/post_processing/box3d_nms.py:129): greedy
 class-aware NMS over axis-aligned (corner-minmax) boxes, suppressing a box
 only when IoU > thresh *and* the classes match.
+
+Greedy NMS is solved by ``greedy_keep_fixpoint``: instead of N sequential
+argmax-and-suppress steps (a latency chain of tiny ops, and under vmap
+every lane serializes its own loop), the keep mask is computed as the
+unique fixpoint of the greedy recursion in sorted-score space —
+``k[j] = valid[j] & ~any(k[i] & sup[i, j] for i < j)`` — iterated as a
+whole-vector update. The fixpoint is reached in suppression-chain-depth
+iterations (typically < 8), each one (N, N) elementwise+reduce pass.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _greedy_keep_sequential(sup, scores, valid):
+    """Reference formulation: N sequential argmax steps (test oracle for
+    the fixpoint solver; not used in production paths)."""
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    alive = valid
+    keep = jnp.zeros_like(valid)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        alive, keep = state
+        i = jnp.argmax(jnp.where(alive, scores, neg_inf))
+        keep = keep.at[i].set(True)
+        alive = alive & ~sup[i]
+        alive = alive.at[i].set(False)
+        return alive, keep
+
+    return jax.lax.while_loop(cond, body, (alive, keep))[1]
+
+
+def greedy_keep_fixpoint(sup, scores, valid):
+    """Greedy-by-descending-score keep mask (first-index tie order).
+
+    Args:
+        sup: (N, N) bool; ``sup[i, j]`` True if box ``i``, when kept,
+            suppresses box ``j``. The diagonal is ignored.
+        scores: (N,) selection priority.
+        valid: (N,) bool; invalid boxes are never kept and never suppress.
+    Returns:
+        (N,) bool keep mask, identical to the sequential greedy loop.
+
+    The greedy recursion in sorted order is strictly triangular, so its
+    fixpoint is unique and equals the sequential result; iterating the
+    whole-vector update converges in suppression-chain-depth rounds.
+    """
+    n = scores.shape[0]
+    if n == 0:
+        return valid
+    order = jnp.argsort(-scores)  # stable: equal scores keep index order
+    S = sup[order][:, order]
+    iot = jnp.arange(n)
+    S = S & (iot[:, None] < iot[None, :])  # only earlier boxes suppress
+    v = valid[order]
+
+    def cond(state):
+        k, k_prev = state
+        return jnp.any(k != k_prev)
+
+    def body(state):
+        k, _ = state
+        suppressed = jnp.any(S & k[:, None], axis=0)
+        return v & ~suppressed, k
+
+    k, _ = jax.lax.while_loop(cond, body, (v, ~v))
+    return jnp.zeros_like(k).at[order].set(k)
 
 
 def _aligned_iou_matrix(boxes6, eps=1e-12):
@@ -40,24 +106,5 @@ def aligned_3d_nms_mask(boxes6, scores, classes, thresh, valid_mask=None):
     n = boxes6.shape[0]
     iou = _aligned_iou_matrix(boxes6)
     iou = iou * (classes[:, None] == classes[None, :])
-
-    alive = jnp.ones((n,), bool) if valid_mask is None else valid_mask
-    keep = jnp.zeros((n,), bool)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-
-    def cond(state):
-        alive, _ = state
-        return jnp.any(alive)
-
-    def body(state):
-        alive, keep = state
-        masked = jnp.where(alive, scores, neg_inf)
-        i = jnp.argmax(masked)
-        keep = keep.at[i].set(True)
-        suppress = iou[i] > thresh
-        alive = alive & ~suppress
-        alive = alive.at[i].set(False)
-        return alive, keep
-
-    _, keep = jax.lax.while_loop(cond, body, (alive, keep))
-    return keep
+    valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask
+    return greedy_keep_fixpoint(iou > thresh, scores, valid)

@@ -121,30 +121,49 @@ def _fps_batched_kernel(xyz_ref, out_ref, dist_ref, num_samples: int):
     )
 
 
+# The TPU scoped-VMEM limit for a pallas_call is 16 MB (measured: a
+# (24, 3, 40000) batched cell OOMs at compile with "16.18M vs 16.00M
+# limit"). Each grid cell holds coords (R*3*N f32) + dist cache (R*N f32)
+# = R*16*N bytes plus working values; chunk the batch so a cell stays
+# well under the limit.
+_VMEM_CELL_BUDGET = 12 * 1024 * 1024
+
+
 def furthest_point_sample_pallas(xyz, num_samples: int):
     """(B, N, 3) -> (B, M) int32, VMEM-resident FPS.
 
-    Batched kernel (one cell, all rows) when coords + distance cache fit
-    VMEM comfortably; per-row grid otherwise.
+    The batch is processed in grid cells of R rows each (R = largest
+    multiple of 8 whose coords + distance cache fit scoped VMEM, capped
+    at the full batch); rows are padded up to a multiple of R. All rows
+    within a cell advance in lockstep (see _fps_batched_kernel); cells
+    run sequentially on the single TPU core.
     """
     B, N, _ = xyz.shape
-    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
-    if B * 16 * N <= 64 * 1024 * 1024:  # coords + dist cache, f32
+    rows = min(B, (_VMEM_CELL_BUDGET // (16 * N)) // 8 * 8)
+    if rows == B or rows >= 8:
+        if B % rows:  # pad rows; padded outputs are discarded
+            pad = rows - B % rows
+            xyz = jnp.concatenate([xyz, xyz[:pad]], axis=0)
+        Bp = xyz.shape[0]
+        xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (Bp, 3, N)
         kernel = functools.partial(
             _fps_batched_kernel, num_samples=num_samples
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            grid=(1,),
+            grid=(Bp // rows,),
             in_specs=[
-                pl.BlockSpec((B, 3, N), lambda _: (0, 0, 0),
+                pl.BlockSpec((rows, 3, N), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((B, num_samples), lambda _: (0, 0),
+            out_specs=pl.BlockSpec((rows, num_samples), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((Bp, num_samples), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((rows, N), jnp.float32)],
         )(xyz_t)
+        return out[:B]
+    # single row per cell: clouds so large that even 8 rows blow VMEM
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
     out = pl.pallas_call(
         kernel,

@@ -139,7 +139,7 @@ def make_semi_train_step(
     pos_distance_thr: float = 0.3,
     neg_distance_thr: float = 0.6,
     head: str = "nesie",
-    teacher_jitter: bool = True,
+    teacher_jitter: bool = False,
 ):
     """Build the jitted semi-supervised step.
 

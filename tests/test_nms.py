@@ -65,6 +65,39 @@ def test_different_classes_never_suppress(rng):
     assert keep.all()
 
 
+def test_fixpoint_matches_sequential_random(rng):
+    """The whole-vector fixpoint solver equals the sequential greedy loop
+    on arbitrary (asymmetric) suppression relations, including ties."""
+    from nesie_tpu.core.nms import (_greedy_keep_sequential,
+                                    greedy_keep_fixpoint)
+
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        sup = jnp.asarray(rng.random((n, n)) < rng.uniform(0.05, 0.6))
+        # quantized scores force plenty of exact ties
+        scores = jnp.asarray(
+            rng.integers(0, 5, size=n).astype(np.float32) / 4.0
+        )
+        valid = jnp.asarray(rng.random(n) < 0.8)
+        want = np.asarray(_greedy_keep_sequential(sup, scores, valid))
+        got = np.asarray(greedy_keep_fixpoint(sup, scores, valid))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_fixpoint_long_suppression_chain():
+    """Worst-case convergence: a pure chain i -> i+1 (greedy keeps the
+    even-ranked boxes; chain depth = n)."""
+    from nesie_tpu.core.nms import greedy_keep_fixpoint
+
+    n = 31
+    sup = jnp.eye(n, k=1, dtype=bool)  # i suppresses i+1 only
+    scores = jnp.arange(n, 0, -1).astype(jnp.float32)  # order = index
+    keep = np.asarray(
+        greedy_keep_fixpoint(sup, scores, jnp.ones(n, bool))
+    )
+    np.testing.assert_array_equal(keep, np.arange(n) % 2 == 0)
+
+
 def test_valid_mask(rng):
     boxes, scores, classes = _random_case(rng, n=10)
     valid = np.zeros(10, bool)
