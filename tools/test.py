@@ -120,21 +120,8 @@ def main():
         idx = idx + [idx[-1]] * (bs - n_real)  # pad the tail batch
         return start, n_real, ds.eval_batch(idx, rng, cfg.data.num_points)
 
-    pending = loader.submit(load, 0)
-    while pending is not None:
-        start, n_real, batch = pending.result()
-        nxt = start + bs
-        pending = loader.submit(load, nxt) if nxt < n else None
-        points = shard_host_batch(batch["points"], mesh)
-        key, sub = jax.random.split(key)
-        out = fwd(state, points, sub)
-        decoded = decode_and_nms(
-            out, points,
-            nms_thr=cfg.test.nms_thr,
-            score_thr=cfg.test.score_thr,
-            use_iou_for_nms=cfg.test.use_iou_for_nms,
-        )
-        decoded = jax.tree.map(np.asarray, decoded)
+    def postprocess(start, n_real, batch, out, decoded):
+        decoded = jax.tree.map(np.asarray, decoded)  # device sync here
         if args.dump_raw:
             dump_dir = Path(args.dump_raw)
             dump_dir.mkdir(parents=True, exist_ok=True)
@@ -158,8 +145,33 @@ def main():
             gb = batch["gt_boxes"][b][batch["gt_valid"][b]]
             gb = gb.copy()
             gb[:, 2] += gb[:, 5] / 2  # bottom -> gravity center
-            gt_annos.append(dict(boxes=gb, labels=batch["gt_labels"][b][batch["gt_valid"][b]]))
+            gt_annos.append(dict(
+                boxes=gb, labels=batch["gt_labels"][b][batch["gt_valid"][b]]
+            ))
         logging.info("evaluated %d/%d scenes", start + n_real, n)
+
+    pending = loader.submit(load, 0)
+    in_flight = None  # previous batch, results still on device
+    while pending is not None:
+        start, n_real, batch = pending.result()
+        nxt = start + bs
+        pending = loader.submit(load, nxt) if nxt < n else None
+        points = shard_host_batch(batch["points"], mesh)
+        key, sub = jax.random.split(key)
+        out = fwd(state, points, sub)
+        decoded = decode_and_nms(
+            out, points,
+            nms_thr=cfg.test.nms_thr,
+            score_thr=cfg.test.score_thr,
+            use_iou_for_nms=cfg.test.use_iou_for_nms,
+        )
+        # pull + postprocess the PREVIOUS batch now that this one is
+        # dispatched: host AP bookkeeping overlaps device compute
+        if in_flight is not None:
+            postprocess(*in_flight)
+        in_flight = (start, n_real, batch, out, decoded)
+    if in_flight is not None:
+        postprocess(*in_flight)
 
     results = indoor_eval(gt_annos, dt_annos, class_names=list(CLASS_NAMES))
     for k in sorted(results):
