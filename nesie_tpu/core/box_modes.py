@@ -5,8 +5,18 @@ coord_3d_mode.py). Boxes are plain (..., 7) arrays.
 Conventions (reference box_3d_mode.py:85-131):
   DEPTH -> LIDAR: p' = (y, -x, z);      sizes (sy, sx, sz); yaw unchanged
   LIDAR -> DEPTH: p' = (-y, x, z);      sizes (sy, sx, sz); yaw unchanged
-  DEPTH -> CAM:   p' = (x, -z, y);      sizes (sx, sz, sy); yaw unchanged
-  CAM  -> DEPTH:  p' = (x, z, -y);      sizes (sx, sz, sy); yaw unchanged
+  DEPTH -> CAM:   p' = (x, z, -y);      sizes (sx, sz, sy); yaw unchanged
+  CAM  -> DEPTH:  p' = (x, -z, y);      sizes (sx, sz, sy); yaw unchanged
+  LIDAR -> CAM:   p' = (-y, -z, x);     sizes (sy, sz, sx); yaw unchanged
+  CAM  -> LIDAR:  p' = (z, -x, -y);     sizes (sz, sx, sy); yaw unchanged
+
+Two audited reference quirks preserved verbatim (both oracle-tested in
+tests/test_reference_oracle2.py against Box3DMode.convert itself):
+* the direct LIDAR<->CAM matrices are NOT the composition through DEPTH
+  (the compositions differ in two axis signs);
+* DEPTH<->CAM for *boxes* (box_3d_mode.py:112-118) is the inverse of
+  DEPTH<->CAM for *points* (coord_3d_mode.py:228-234; see
+  ``convert_points`` below, which follows the points convention).
 """
 from __future__ import annotations
 
@@ -31,11 +41,19 @@ def lidar_to_depth(boxes):
 
 
 def depth_to_cam(boxes):
-    return _swap(boxes, (0, 2, 1), (1.0, -1.0, 1.0))
+    return _swap(boxes, (0, 2, 1), (1.0, 1.0, -1.0))
 
 
 def cam_to_depth(boxes):
-    return _swap(boxes, (0, 2, 1), (1.0, 1.0, -1.0))
+    return _swap(boxes, (0, 2, 1), (1.0, -1.0, 1.0))
+
+
+def lidar_to_cam(boxes):
+    return _swap(boxes, (1, 2, 0), (-1.0, -1.0, 1.0))
+
+
+def cam_to_lidar(boxes):
+    return _swap(boxes, (2, 0, 1), (1.0, -1.0, -1.0))
 
 
 def convert_points(points, src: str, dst: str):
@@ -50,6 +68,10 @@ def convert_points(points, src: str, dst: str):
         out = jnp.stack([x, -z, y], axis=-1)
     elif key == ("CAM", "DEPTH"):
         out = jnp.stack([x, z, -y], axis=-1)
+    elif key == ("LIDAR", "CAM"):
+        out = jnp.stack([-y, -z, x], axis=-1)
+    elif key == ("CAM", "LIDAR"):
+        out = jnp.stack([z, -x, -y], axis=-1)
     elif src.upper() == dst.upper():
         out = points[..., :3]
     else:

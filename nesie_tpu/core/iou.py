@@ -22,14 +22,18 @@ _EPS = 1e-8
 # Axis-aligned IoU (used by eval + AxisAlignedIoULoss)
 # ---------------------------------------------------------------------------
 
-def axis_aligned_overlap_3d(boxes1, boxes2, *, aligned: bool = False, eps=1e-10):
-    """IoU of axis-aligned ``(x1,y1,z1,x2,y2,z2)`` boxes.
+def axis_aligned_overlap_3d(boxes1, boxes2, *, aligned: bool = False,
+                            mode: str = "iou", eps=1e-10):
+    """IoU / GIoU of axis-aligned ``(x1,y1,z1,x2,y2,z2)`` boxes
+    (reference axis_aligned_bbox_overlaps_3d, iou3d_calculator.py:201).
 
     Args:
         boxes1: (..., N, 6); boxes2: (..., M, 6) (or (..., N, 6) if aligned).
+        mode: "iou" or "giou".
     Returns:
-        (..., N, M) IoU matrix, or (..., N) when ``aligned``.
+        (..., N, M) matrix, or (..., N) when ``aligned``.
     """
+    assert mode in ("iou", "giou"), mode
     if not aligned:
         boxes1 = boxes1[..., :, None, :]
         boxes2 = boxes2[..., None, :, :]
@@ -42,8 +46,14 @@ def axis_aligned_overlap_3d(boxes1, boxes2, *, aligned: bool = False, eps=1e-10)
         d = b[..., 3:] - b[..., :3]
         return d[..., 0] * d[..., 1] * d[..., 2]
 
-    union = vol(boxes1) + vol(boxes2) - inter
-    return inter / jnp.maximum(union, eps)
+    union = jnp.maximum(vol(boxes1) + vol(boxes2) - inter, eps)
+    ious = inter / union
+    if mode == "iou":
+        return ious
+    enc = jnp.clip(jnp.maximum(boxes1[..., 3:], boxes2[..., 3:])
+                   - jnp.minimum(boxes1[..., :3], boxes2[..., :3]), 0.0)
+    enclose = jnp.maximum(enc[..., 0] * enc[..., 1] * enc[..., 2], eps)
+    return ious - (enclose - union) / enclose
 
 
 def axis_aligned_iou_3d(boxes1, boxes2, **kw):
