@@ -99,21 +99,43 @@ class _SmoothL1Loss(torch.nn.Module):
             avg_factor=avg_factor)
 
 
+@weighted_loss
+def _l1_loss(pred, target):
+    return torch.abs(pred - target)
+
+
+class _L1Loss(torch.nn.Module):
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        super().__init__()
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None,
+                reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * _l1_loss(
+            pred, target, weight, reduction=reduction, avg_factor=avg_factor)
+
+
 class _CrossEntropyLoss(torch.nn.Module):
     def __init__(self, use_sigmoid=False, use_mask=False, reduction="mean",
                  class_weight=None, loss_weight=1.0):
         super().__init__()
         self.reduction = reduction
         self.loss_weight = loss_weight
+        self.class_weight = class_weight
 
     def forward(self, cls_score, label, weight=None, avg_factor=None,
                 reduction_override=None, **kwargs):
         reduction = reduction_override or self.reduction
+        class_weight = (cls_score.new_tensor(self.class_weight)
+                        if self.class_weight is not None else None)
         if label.shape == cls_score.shape:  # soft (one-hot) labels
             logp = F.log_softmax(cls_score, dim=1)
             loss = -(label * logp).sum(dim=1)
         else:
-            loss = F.cross_entropy(cls_score, label, reduction="none")
+            loss = F.cross_entropy(cls_score, label, weight=class_weight,
+                                   reduction="none")
         return self.loss_weight * weight_reduce_loss(
             loss, weight, reduction, avg_factor)
 
@@ -199,7 +221,7 @@ def install_shims():
     _mod("mmdet.models.losses.utils", weighted_loss=weighted_loss,
          weight_reduce_loss=weight_reduce_loss)
     _mod("mmdet.models.losses", MSELoss=_MSELoss, SmoothL1Loss=_SmoothL1Loss,
-         CrossEntropyLoss=_CrossEntropyLoss,
+         L1Loss=_L1Loss, CrossEntropyLoss=_CrossEntropyLoss,
          weighted_loss=weighted_loss)
     sys.modules["mmdet.models.losses"].utils = sys.modules[
         "mmdet.models.losses.utils"]
