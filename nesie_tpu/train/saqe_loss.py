@@ -110,17 +110,21 @@ def saqe_supervised_loss(
         losses["angle_loss"] = jnp.sum(angle_elem)
 
     # self-distilled angle quality (label normalized by max box weight,
-    # saqe_head.py:427)
-    angle_label = jax.lax.stop_gradient(
-        angle_elem / jnp.maximum(jnp.max(targets.box_loss_weights), 1e-12)
-    )
-    rot_j_at = jnp.take_along_axis(
-        results["rotate_scores_jitter"].reshape(flat, C), sem_argmax[:, None], axis=1
-    )[:, 0]
-    losses["angle_pred_loss"] = cfg.angle_pred_weight * (
-        jnp.sum(mse_loss(rot_at, angle_label) * w)
-        + jnp.sum(mse_loss(rot_j_at, angle_label) * w)
-    )
+    # saqe_head.py:427) — PRETRAIN ONLY: the semi-phase sup_loss
+    # (saqe_head.py:524-705) computes the angle sigma but never trains
+    # rotate_scores (no angle_pred term in its return dict).
+    if phase != "semi":
+        angle_label = jax.lax.stop_gradient(
+            angle_elem / jnp.maximum(jnp.max(targets.box_loss_weights), 1e-12)
+        )
+        rot_j_at = jnp.take_along_axis(
+            results["rotate_scores_jitter"].reshape(flat, C),
+            sem_argmax[:, None], axis=1
+        )[:, 0]
+        losses["angle_pred_loss"] = cfg.angle_pred_weight * (
+            jnp.sum(mse_loss(rot_at, angle_label) * w)
+            + jnp.sum(mse_loss(rot_j_at, angle_label) * w)
+        )
 
     sem_ce = softmax_cross_entropy(results["sem_scores"], targets.mask_targets)
     losses["semantic_loss"] = cfg.semantic_weight * jnp.sum(

@@ -257,8 +257,60 @@ def ref_loss_head(ref_riou):
             beta=5.0, reduction="sum", loss_weight=1.0)
         return head
 
-    return SimpleNamespace(build_head=build_head, head_mod=head_mod,
-                           depth_mod=depth_mod)
+    def build_saqe_head(num_classes, reg_max):
+        reliable = types.ModuleType("refheads.reliable_conv_bbox_module")
+        reliable.ReliableConvBboxHead = object
+        quality = types.ModuleType("refheads.quelity_estimation_module")
+        quality.QualityEstimation = object
+        saqe_mod = load_ref(
+            "mmdet3d/models/dense_heads/saqe_head.py", "refheads.saqe_head",
+            package_modules={"reliable_conv_bbox_module": reliable,
+                             "quelity_estimation_module": quality})
+        saqe_mod.multi_apply = _multi_apply
+        saqe_mod.chamfer_distance = chamfer_mod.chamfer_distance
+        saqe_mod.cal_iou_3d = ref_riou.cal_iou_3d
+        saqe_mod.cal_giou_3d = ref_riou.cal_giou_3d
+        SAQEHead = saqe_mod.SAQEHead
+        head = SAQEHead.__new__(SAQEHead)
+        torch.nn.Module.__init__(head)
+        head.num_classes = num_classes
+        head.reg_max = reg_max
+        head.alpha = 1.0
+        head.gt_per_seed = 3
+        head.train_cfg = dict(pos_distance_thr=0.3, neg_distance_thr=0.6)
+        vm = vote_mod.VoteModule.__new__(vote_mod.VoteModule)
+        torch.nn.Module.__init__(vm)
+        vm.gt_per_seed = 3
+        vm.vote_loss = chamfer_mod.ChamferDistance(
+            mode="l1", reduction="none", loss_dst_weight=10.0)
+        head.vote_module = vm
+        # shipped saqe-votenet-scannet config loss tree
+        # (configs/SAQE/saqe-votenet-scannet-pretrain-010.py:49-90)
+        head.objectness_loss = refshim._CrossEntropyLoss(
+            class_weight=[0.2, 0.8], reduction="sum", loss_weight=5.0)
+        head.center_loss = chamfer_mod.ChamferDistance(
+            mode="l2", reduction="sum", loss_src_weight=10.0,
+            loss_dst_weight=10.0)
+        head.iou_loss = iou3d_loss_mod.IoU3DLoss(
+            reduction="sum", loss_weight=3.0)
+        head.semantic_loss = refshim._CrossEntropyLoss(
+            reduction="sum", loss_weight=1.0)
+        head.iou_pred_loss = gfocal_mod.GeneralQualityFocalLoss(
+            reduction="sum", use_sigmoid=False, beta=2.0, loss_weight=3.0)
+        head.surface_loss = surface_mod.SurfaceLoss(
+            func_type="MSELoss", beta=5.0, reduction="sum", loss_weight=10.0)
+        head.angle_loss = refshim._SmoothL1Loss(
+            reduction="sum", loss_weight=10.0)
+        head.angle_pred_loss = refshim._MSELoss(
+            reduction="sum", loss_weight=1.0)
+        head.side_loss = side_mod.SidePredLoss(
+            label_func_type="SmoothL1Loss", loss_func_type="MSELoss",
+            beta=5.0, reduction="sum", loss_weight=1.0)
+        return head
+
+    return SimpleNamespace(build_head=build_head,
+                           build_saqe_head=build_saqe_head,
+                           head_mod=head_mod, depth_mod=depth_mod)
 
 
 # ----------------------------------------------------------- rotated IoU
@@ -456,4 +508,95 @@ def test_nesie_unsup_loss_matches_reference(ref_loss_head):
     for key in want:
         np.testing.assert_allclose(
             float(got[key]), float(want[key]), rtol=2e-4, atol=1e-5,
+            err_msg=key)
+
+
+# --------------------------------------------------------------- SAQE loss
+def _saqe_fixture(rng, C=5, reg_max=8):
+    results, points, gt_boxes, gt_labels, gt_valid = _loss_fixture(
+        rng, C=C, reg_max=reg_max, yaw=True)
+    B, P = results["obj_scores"].shape[:2]
+    results.update({
+        "R_obj_scores": rng.normal(size=(B, P, 2)).astype(np.float32),
+        "R_obj_scores_jitter": rng.normal(size=(B, P, 2)).astype(np.float32),
+        "rotate_scores": rng.uniform(0, 1, (B, P, C)).astype(np.float32),
+        "rotate_scores_jitter": rng.uniform(0, 1, (B, P, C)).astype(
+            np.float32),
+        "side_scores_jitter": rng.uniform(0, 1, (B, P, 6, C)).astype(
+            np.float32),
+        "jitter_surface_preds": rng.normal(size=(B, P, 6)).astype(np.float32),
+    })
+    return results, points, gt_boxes, gt_labels, gt_valid
+
+
+@pytest.mark.parametrize("phase", ["pretrain", "semi"])
+def test_saqe_loss_matches_reference(ref_loss_head, phase):
+    """SAQEHead.loss (pretrain, saqe_head.py:331-521) and sup_loss (semi,
+    :524-705, detached-sigma attenuation) vs saqe_supervised_loss."""
+    from nesie_tpu.train.saqe_loss import SAQELossConfig, saqe_supervised_loss
+
+    rng = np.random.default_rng(31 + (phase == "semi"))
+    C, reg_max = 5, 8
+    results, points, gt_boxes, gt_labels, gt_valid = _saqe_fixture(
+        rng, C=C, reg_max=reg_max)
+
+    head = ref_loss_head.build_saqe_head(C, reg_max)
+    Depth = ref_loss_head.depth_mod.DepthInstance3DBoxes
+    B = len(gt_boxes)
+    gt_list = [Depth(torch.from_numpy(gt_boxes[b][gt_valid[b]]),
+                     box_dim=7, with_yaw=True) for b in range(B)]
+    label_list = [torch.from_numpy(gt_labels[b][gt_valid[b]])
+                  for b in range(B)]
+    ref_fn = head.loss if phase == "pretrain" else head.sup_loss
+    want = ref_fn(_ref_preds(results), torch.from_numpy(points),
+                  gt_list, label_list)
+
+    cfg = SAQELossConfig(num_classes=C, iou_pred_weight=3.0)
+    targets = _our_targets(results, points, gt_boxes, gt_labels, gt_valid)
+    _, got = saqe_supervised_loss(
+        {k: jnp.asarray(v) for k, v in results.items()}, targets, cfg,
+        phase=phase)
+
+    assert set(want) == set(got)
+    for key in want:
+        np.testing.assert_allclose(
+            float(got[key]), float(want[key]), rtol=3e-4, atol=1e-5,
+            err_msg=key)
+
+
+def test_saqe_unsup_loss_matches_reference(ref_loss_head):
+    """SAQEHead.unsup_loss (saqe_head.py:706-800) vs saqe_unsup_loss."""
+    from nesie_tpu.train.saqe_loss import SAQELossConfig, saqe_unsup_loss
+
+    rng = np.random.default_rng(41)
+    C, reg_max = 5, 8
+    results, points, gt_boxes, gt_labels, gt_valid = _saqe_fixture(
+        rng, C=C, reg_max=reg_max)
+
+    head = ref_loss_head.build_saqe_head(C, reg_max)
+    Depth = ref_loss_head.depth_mod.DepthInstance3DBoxes
+    B, max_gt = gt_labels.shape
+    quality = np.zeros((B, max_gt, 6), np.float32)
+    quality[gt_valid] = rng.uniform(0.2, 1.0, (int(gt_valid.sum()), 6))
+
+    gt_list = [Depth(torch.from_numpy(gt_boxes[b][gt_valid[b]]),
+                     box_dim=7, with_yaw=True) for b in range(B)]
+    label_list = [torch.from_numpy(gt_labels[b][gt_valid[b]])
+                  for b in range(B)]
+    quality_list = [torch.from_numpy(quality[b][gt_valid[b]])
+                    for b in range(B)]
+    want = head.unsup_loss(_ref_preds(results), torch.from_numpy(points),
+                           gt_list, label_list,
+                           pseudo_quality_score=quality_list)
+
+    cfg = SAQELossConfig(num_classes=C)
+    targets = _our_targets(results, points, gt_boxes, gt_labels, gt_valid)
+    _, got = saqe_unsup_loss(
+        {k: jnp.asarray(v) for k, v in results.items()}, targets,
+        jnp.asarray(quality), cfg, un_label_weight=2.0)
+
+    assert set(want) == set(got)
+    for key in want:
+        np.testing.assert_allclose(
+            float(got[key]), float(want[key]), rtol=3e-4, atol=1e-5,
             err_msg=key)

@@ -92,7 +92,11 @@ def test_saqe_losses_finite(saqe_setup):
     for phase in ("pretrain", "semi"):
         total, terms = saqe_supervised_loss(out, targets, cfg, phase=phase)
         assert np.isfinite(float(total)), phase
-        assert "angle_loss" in terms and "angle_pred_loss" in terms
+        assert "angle_loss" in terms
+        # the self-distilled angle quality trains in PRETRAIN only: the
+        # semi sup_loss (saqe_head.py:524-705) never returns an
+        # angle_pred term (pinned numerically in test_reference_oracle3)
+        assert ("angle_pred_loss" in terms) == (phase == "pretrain")
         for k, v in terms.items():
             assert np.isfinite(float(v)), (phase, k)
 
