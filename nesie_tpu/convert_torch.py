@@ -45,7 +45,8 @@ def _bn(sd, prefix):
 
 def _convmodule_chain(sd, torch_prefix, n_layers, flax_params, flax_stats,
                       dense_name="dense{}", norm_name="norm{}"):
-    """mmcv ConvModule stack 'layer{j}.conv/bn' -> PointMLP dense{j}/norm{j}."""
+    """mmcv ConvModule stack 'layer{j}.conv/{bn,gn}' -> PointMLP
+    dense{j}/norm{j} (GroupNorm has no running stats)."""
     for j in range(n_layers):
         t = f"{torch_prefix}.layer{j}"
         w = sd[f"{t}.conv.weight"]
@@ -55,6 +56,11 @@ def _convmodule_chain(sd, torch_prefix, n_layers, flax_params, flax_stats,
             p, s = _bn(sd, f"{t}.bn")
             flax_params[norm_name.format(j)] = p
             flax_stats[norm_name.format(j)] = s
+        elif f"{t}.gn.weight" in sd:
+            flax_params[norm_name.format(j)] = {
+                "scale": np.asarray(sd[f"{t}.gn.weight"], np.float32),
+                "bias": np.asarray(sd[f"{t}.gn.bias"], np.float32),
+            }
 
 
 def convert_state_dict(sd, num_sa: int = 4, num_fp: int = 2,
@@ -137,6 +143,21 @@ def convert_state_dict(sd, num_sa: int = 4, num_fp: int = 2,
     _convmodule_chain(sd, "bbox_head.conv_pred.shared_convs", n_layers, sh_p, sh_s)
     cp_p["shared"] = sh_p
     cp_s["shared"] = sh_s
+    # optional branch conv stacks (cls/bbox: BN; heading: GN(reg_max) —
+    # reliable_conv_bbox_module.py:124-142); empty with the shipped configs
+    for branch in ("cls_convs", "bbox_convs", "heading_convs"):
+        n_layers = len(
+            {k.split(".layer")[1].split(".")[0]
+             for k in sd
+             if k.startswith(f"bbox_head.conv_pred.{branch}.layer")}
+        )
+        if n_layers:
+            br_p, br_s = {}, {}
+            _convmodule_chain(sd, f"bbox_head.conv_pred.{branch}", n_layers,
+                              br_p, br_s)
+            cp_p[branch] = br_p
+            if br_s:
+                cp_s[branch] = br_s
     for name in ("conv_cls", "conv_bbox", "conv_heading"):
         cp_p[name] = _dense(sd[f"bbox_head.conv_pred.{name}.weight"],
                             sd[f"bbox_head.conv_pred.{name}.bias"])

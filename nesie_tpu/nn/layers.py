@@ -58,7 +58,10 @@ class PointMLP(nn.Module):
                         name=f"norm{i}",
                     )(x)
                 elif self.norm == "gn":
+                    # epsilon matches torch GroupNorm (1e-5); flax's
+                    # default 1e-6 costs ~2e-3 absolute vs the reference
                     x = nn.GroupNorm(num_groups=self.gn_groups,
+                                     epsilon=1e-5,
                                      dtype=self.dtype, name=f"norm{i}")(x)
                 x = nn.relu(x)
         if self.dtype is not None:

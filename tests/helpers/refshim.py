@@ -140,6 +140,65 @@ class _CrossEntropyLoss(torch.nn.Module):
             loss, weight, reduction, avg_factor)
 
 
+# --------------------------------------------------------------- mmcv bricks
+class _ConvModule(torch.nn.Module):
+    """mmcv.cnn.ConvModule stand-in: conv -> norm -> act with mmcv's child
+    naming (``conv`` + ``bn``/``gn``) and bias semantics (``'auto'`` ->
+    bias iff no norm follows). Faithful for the configs the reference
+    uses: Conv1d/Conv2d 1x1, BN1d/BN2d/GN, ReLU."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, conv_cfg=None, norm_cfg=None,
+                 act_cfg=dict(type="ReLU"), bias="auto", inplace=True,
+                 **kwargs):
+        super().__init__()
+        ctype = (conv_cfg or {}).get("type", "Conv2d")
+        conv_cls = {"Conv1d": torch.nn.Conv1d,
+                    "Conv2d": torch.nn.Conv2d}[ctype]
+        if bias == "auto":
+            bias = norm_cfg is None
+        self.conv = conv_cls(in_channels, out_channels, kernel_size,
+                             stride=stride, padding=padding, bias=bias)
+        self._norm_name = None
+        if norm_cfg is not None:
+            ntype = norm_cfg["type"]
+            if ntype == "GN":
+                self._norm_name = "gn"
+                self.gn = torch.nn.GroupNorm(norm_cfg["num_groups"],
+                                             out_channels)
+            else:
+                self._norm_name = "bn"
+                bn_cls = {"BN1d": torch.nn.BatchNorm1d,
+                          "BN2d": torch.nn.BatchNorm2d,
+                          "BN": torch.nn.BatchNorm2d}[ntype]
+                self.bn = bn_cls(out_channels)
+        self._with_act = act_cfg is not None
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self._norm_name is not None:
+            x = getattr(self, self._norm_name)(x)
+        if self._with_act:
+            x = F.relu(x)
+        return x
+
+
+def _build_conv_layer(cfg, *args, **kwargs):
+    ctype = (cfg or {}).get("type", "Conv2d")
+    conv_cls = {"Conv1d": torch.nn.Conv1d, "Conv2d": torch.nn.Conv2d}[ctype]
+    return conv_cls(*args, **kwargs)
+
+
+def _three_nn_torch(target, source):
+    """mmcv.ops.three_nn stand-in: 3 nearest ``source`` points per
+    ``target`` point, ascending (CUDA kernel semantics; only ``idx`` is
+    consumed by the reference quality modules, which recompute distances
+    in torch — side_pooling_module.py:224-238)."""
+    d = torch.cdist(target.float(), source.float())
+    dist, idx = torch.topk(d, 3, dim=-1, largest=False)
+    return dist, idx.int()
+
+
 # ------------------------------------------------------------- inert plumbing
 class _Registry:
     def __init__(self):
@@ -202,13 +261,23 @@ def install_shims():
     mmcv = _mod("mmcv", is_tuple_of=lambda seq, t: isinstance(seq, tuple)
                 and all(isinstance(x, t) for x in seq))
     _mod("mmcv.utils", print_log=lambda msg, logger=None: None)
+    class _BaseModule(torch.nn.Module):
+        def __init__(self, init_cfg=None, *args, **kwargs):
+            super().__init__()
+            self.init_cfg = init_cfg
+
     _mod("mmcv.runner", HOOKS=_Registry(), Hook=_Hook, Priority=dict,
          get_priority=_get_priority, auto_fp16=_identity_deco,
-         force_fp32=_identity_deco, BaseModule=torch.nn.Module)
+         force_fp32=_identity_deco, BaseModule=_BaseModule)
     _mod("mmcv.parallel", DataContainer=object)
-    _mod("mmcv.cnn", ConvModule=None, normal_init=lambda *a, **k: None)
+    _mod("mmcv.cnn", ConvModule=_ConvModule,
+         normal_init=lambda *a, **k: None)
+    _mod("mmcv.cnn.bricks", build_conv_layer=_build_conv_layer)
+    _mod("mmcv.ops", three_nn=_three_nn_torch)
     mmcv.utils = sys.modules["mmcv.utils"]
     mmcv.runner = sys.modules["mmcv.runner"]
+    mmcv.cnn = sys.modules["mmcv.cnn"]
+    mmcv.ops = sys.modules["mmcv.ops"]
 
     mmdet = _mod("mmdet")
     models = _mod(
