@@ -164,6 +164,53 @@ def convert_state_dict(sd, num_sa: int = 4, num_fp: int = 2,
     bh_p["conv_pred"] = cp_p
     bh_s["conv_pred"] = cp_s
 
+    if head == "saqe":
+        # ---- quality module (QualityEstimation, SAQE) ----
+        # mlps_before: 6 MiniPointNets (hide 128); mlps_head.{0-5}: 2-conv
+        # side heads; mlps_head.6: 3-conv fused global head emitting
+        # iou+rotate+R_obj (quelity_estimation_module.py:50-76)
+        gq_p, gq_s = {}, {}
+        for i in range(6):
+            t = f"bbox_head.grid_conv.mlps_before.{i}"
+            mp = {
+                "first0": _dense(sd[f"{t}.first_conv.0.weight"]),
+                "first1": _dense(sd[f"{t}.first_conv.3.weight"],
+                                 sd[f"{t}.first_conv.3.bias"]),
+                "second0": _dense(sd[f"{t}.second_conv.0.weight"]),
+                "second1": _dense(sd[f"{t}.second_conv.3.weight"],
+                                  sd[f"{t}.second_conv.3.bias"]),
+            }
+            p0, s0 = _bn(sd, f"{t}.first_conv.1")
+            p1, s1 = _bn(sd, f"{t}.second_conv.1")
+            mp["bn0"], mp["bn1"] = p0, p1
+            gq_p[f"side_mini{i}"] = mp
+            gq_s[f"side_mini{i}"] = {"bn0": s0, "bn1": s1}
+            t = f"bbox_head.grid_conv.mlps_head.{i}"
+            trunk_p, trunk_s = {}, {}
+            trunk_p["dense0"] = _dense(sd[f"{t}.0.weight"], sd[f"{t}.0.bias"])
+            p, s = _bn(sd, f"{t}.1")
+            trunk_p["norm0"], trunk_s["norm0"] = p, s
+            gq_p[f"side_head{i}_trunk"] = trunk_p
+            gq_s[f"side_head{i}_trunk"] = trunk_s
+            gq_p[f"side_head{i}_out"] = _dense(sd[f"{t}.3.weight"],
+                                               sd[f"{t}.3.bias"])
+        t = "bbox_head.grid_conv.mlps_head.6"
+        trunk_p, trunk_s = {}, {}
+        trunk_p["dense0"] = _dense(sd[f"{t}.0.weight"], sd[f"{t}.0.bias"])
+        p, s = _bn(sd, f"{t}.1")
+        trunk_p["norm0"], trunk_s["norm0"] = p, s
+        trunk_p["dense1"] = _dense(sd[f"{t}.3.weight"], sd[f"{t}.3.bias"])
+        p, s = _bn(sd, f"{t}.4")
+        trunk_p["norm1"], trunk_s["norm1"] = p, s
+        gq_p["global_trunk"] = trunk_p
+        gq_s["global_trunk"] = trunk_s
+        gq_p["global_out"] = _dense(sd[f"{t}.6.weight"], sd[f"{t}.6.bias"])
+        bh_p["grid_conv"] = gq_p
+        bh_s["grid_conv"] = gq_s
+        params["bbox_head"] = bh_p
+        stats["bbox_head"] = bh_s
+        return params, stats
+
     # ---- quality module (SidePooling) ----
     gq_p, gq_s = {}, {}
     mini_names = [f"side_mini{i}" for i in range(6)] + ["box_mini"]

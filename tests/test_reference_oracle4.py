@@ -203,3 +203,80 @@ def test_side_pooling_forward_matches_reference(ref_modules):
                                rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_iou), want_iou,
                                rtol=1e-4, atol=2e-4)
+
+
+def test_quality_estimation_forward_matches_reference(ref_modules,
+                                                      tmp_path):
+    """The SAQE quality module (quelity_estimation_module.py:286-346):
+    per-face grids tripled +/-10% along their normals, 3-NN interpolation,
+    2-conv side heads, fused global head -> iou/rotate/R_obj."""
+    from nesie_tpu.nn.quality_estimation import QualityEstimation
+
+    wrapper, _, _ = ref_modules  # fixture installs shims + .cuda patch
+    qe_mod = load_ref(
+        "mmdet3d/models/dense_heads/quelity_estimation_module.py",
+        "ref_quality_estimation")
+
+    means = tmp_path / "means.npz"
+    np.savez(means, arr_0=np.ones((C_CLS, 3), np.float32))
+    torch.manual_seed(1)
+    saqe = tnn.Module()
+    bh = tnn.Module()
+    bh.vote_module = wrapper.bbox_head.vote_module
+    bh.conv_pred = wrapper.bbox_head.conv_pred
+    bh.grid_conv = qe_mod.QualityEstimation(
+        num_class=C_CLS, num_heading_bin=1, num_size_cluster=C_CLS,
+        mean_size_arr_path=str(means), num_proposal=P, sampling="vote",
+        seed_feat_dim=FEAT)
+    saqe.bbox_head = bh
+    with torch.no_grad():
+        for m in bh.grid_conv.modules():
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    saqe.eval()
+    sd = {k: v.numpy() for k, v in saqe.state_dict().items()}
+    params, stats = convert_state_dict(sd, num_sa=0, num_fp=0, head="saqe")
+
+    rng = np.random.default_rng(3)
+    seed_xyz = rng.uniform(-2, 2, (B, N_SEED, 3)).astype(np.float32)
+    seed_feats = rng.normal(size=(B, N_SEED, FEAT)).astype(np.float32)
+    center = rng.uniform(-1.5, 1.5, (B, K2, 3)).astype(np.float32)
+    size = rng.uniform(0.5, 2.0, (B, K2, 3)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, (B, K2)).astype(np.float32)
+    probs_raw = rng.normal(size=(B, P, 6, REG_MAX + 1)).astype(np.float32)
+    probs = np.exp(probs_raw) / np.exp(probs_raw).sum(-1, keepdims=True)
+
+    end_points = {
+        "seed_points": torch.from_numpy(seed_xyz),
+        "seed_features": torch.from_numpy(seed_feats).transpose(2, 1)
+        .contiguous(),
+        "bbox_probs": torch.from_numpy(probs).permute(0, 2, 3, 1)
+        .contiguous(),
+    }
+    with torch.no_grad():
+        out = bh.grid_conv(torch.from_numpy(center), torch.from_numpy(size),
+                           torch.from_numpy(heading), end_points)
+    want_side = out["side_scores"].permute(1, 3, 0, 2).numpy()
+    want_iou = out["iou_scores"].numpy()
+    want_rot = out["rotate_scores"].numpy()
+    want_robj = out["R_obj_scores"].numpy()
+
+    ours = QualityEstimation(num_classes=C_CLS, seed_feat_dim=FEAT,
+                             reg_max=REG_MAX)
+    got_side, got_iou, got_rot, got_robj = _apply(
+        ours,
+        {"params": params["bbox_head"]["grid_conv"],
+         "batch_stats": stats["bbox_head"]["grid_conv"]},
+        jnp.asarray(center), jnp.asarray(size), jnp.asarray(heading),
+        jnp.asarray(seed_xyz), jnp.asarray(seed_feats), jnp.asarray(probs))
+    np.testing.assert_allclose(np.asarray(got_side), want_side,
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou,
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rot), want_rot,
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_robj), want_robj,
+                               rtol=1e-4, atol=2e-4)
