@@ -4,6 +4,8 @@ from .basic import (
     l1_loss,
     softmax_cross_entropy,
     weight_reduce,
+    weighted_smooth_l1,
+    corner_loss_lidar,
 )
 from .chamfer import chamfer_distance
 from .gfocal import quality_focal_loss, distribution_focal_loss
@@ -36,4 +38,6 @@ __all__ = [
     "side_pred_loss",
     "iou_3d_loss",
     "axis_aligned_iou_loss",
+    "weighted_smooth_l1",
+    "corner_loss_lidar",
 ]

@@ -1,0 +1,214 @@
+"""Golden tests, wave 5: the reference's remaining pure-torch loss
+modules — lovasz_loss.py, consistency.py (SESS teacher-student
+consistency), and weighted_smooth_l1_loss.py (+ box_utils corner loss) —
+imported from /root/reference (see helpers/refshim.py) and matched
+numerically against the nesie_tpu ports.
+
+consistency.py and weighted_smooth_l1_loss.py call ``.cuda()``
+unconditionally; a fixture patches ``torch.Tensor.cuda`` to identity so
+they run on CPU.
+"""
+from __future__ import annotations
+
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "/root/repo/tests/helpers")
+import refshim  # noqa: E402
+from refshim import load_ref  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def cpu_cuda(monkeypatch):
+    """Make the reference's unconditional .cuda() calls a no-op."""
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+# ------------------------------------------------------------------ lovasz
+@pytest.fixture(scope="module")
+def ref_lovasz():
+    return load_ref("mmdet3d/models/losses/lovasz_loss.py", "ref_lovasz")
+
+
+@pytest.mark.parametrize("classes", ["present", "all"])
+def test_lovasz_softmax_matches_reference(ref_lovasz, classes):
+    rng = np.random.default_rng(3)
+    N, C = 257, 5
+    logits = rng.normal(size=(N, C)).astype(np.float32)
+    probs = torch.softmax(torch.from_numpy(logits), dim=1)
+    # class 4 absent: exercises the present-vs-all divergence
+    labels = rng.integers(0, C - 1, size=N).astype(np.int64)
+
+    # reference signature is image-shaped: (B, C, H, W) + (B, H, W)
+    want = ref_lovasz.lovasz_softmax(
+        probs.t().reshape(1, C, N, 1), torch.from_numpy(labels).reshape(1, N, 1),
+        classes=classes).item()
+
+    from nesie_tpu.losses.consistency import lovasz_softmax
+    got = float(lovasz_softmax(jnp.asarray(probs.numpy()),
+                               jnp.asarray(labels), C, classes=classes))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    if classes == "present":
+        # sanity: the absent class makes the two modes actually differ
+        got_all = float(lovasz_softmax(jnp.asarray(probs.numpy()),
+                                       jnp.asarray(labels), C, classes="all"))
+        assert abs(got_all - got) > 1e-4
+
+
+def test_lovasz_grad_matches_reference(ref_lovasz):
+    rng = np.random.default_rng(4)
+    fg = (rng.random(33) < 0.4).astype(np.float32)
+    want = ref_lovasz.lovasz_grad(torch.from_numpy(fg)).numpy()
+    from nesie_tpu.losses.consistency import lovasz_grad
+    got = np.asarray(lovasz_grad(jnp.asarray(fg)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------- SESS consistency
+@pytest.fixture(scope="module")
+def ref_consistency():
+    return load_ref("mmdet3d/models/losses/consistency.py", "ref_consistency")
+
+
+def test_get_consistency_loss_matches_reference(ref_consistency, cpu_cuda,
+                                                rng):
+    B, P, C, S = 3, 16, 6, 4
+    mean_size_arr = np.abs(rng.normal(size=(S, 3))).astype(np.float32) + 0.5
+
+    def mk(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    center = mk(B, P, 3)
+    ema_center = mk(B, P, 3)
+    sem = mk(B, P, C)
+    ema_sem = mk(B, P, C)
+    size_scores = mk(B, P, S)
+    ema_size_scores = mk(B, P, S)
+    size_res = mk(B, P, S, 3) * 0.1
+    ema_size_res = mk(B, P, S, 3) * 0.1
+    flip_x = np.array([1, 0, 1], np.float32)
+    flip_y = np.array([0, 1, 1], np.float32)
+    theta = rng.uniform(0, 2 * np.pi, size=B).astype(np.float32)
+    rot = np.stack([
+        np.stack([np.cos(theta), -np.sin(theta), np.zeros(B)], -1),
+        np.stack([np.sin(theta), np.cos(theta), np.zeros(B)], -1),
+        np.stack([np.zeros(B), np.zeros(B), np.ones(B)], -1)], 1
+    ).astype(np.float32)
+    scale = rng.uniform(0.8, 1.2, size=(B, 1, 3)).astype(np.float32)
+
+    end_points = {
+        "center": torch.from_numpy(center),
+        "sem_cls_scores": torch.from_numpy(sem),
+        "size_scores": torch.from_numpy(size_scores),
+        "size_residuals": torch.from_numpy(size_res),
+        "flip_x_axis": torch.from_numpy(flip_x),
+        "flip_y_axis": torch.from_numpy(flip_y),
+        "rot_mat": torch.from_numpy(rot),
+        "scale": torch.from_numpy(scale),
+    }
+    ema_end_points = {
+        "center": torch.from_numpy(ema_center.copy()),
+        "sem_cls_scores": torch.from_numpy(ema_sem),
+        "size_scores": torch.from_numpy(ema_size_scores),
+        "size_residuals": torch.from_numpy(ema_size_res),
+    }
+    cfg = SimpleNamespace(mean_size_arr=mean_size_arr)
+    want_total, want_ep = ref_consistency.get_consistency_loss(
+        end_points, ema_end_points, cfg)
+
+    from nesie_tpu.losses.consistency import (consistency_losses,
+                                              decode_votenet_size)
+    size = decode_votenet_size(jnp.asarray(size_scores),
+                               jnp.asarray(size_res), mean_size_arr)
+    ema_size = decode_votenet_size(jnp.asarray(ema_size_scores),
+                                   jnp.asarray(ema_size_res), mean_size_arr)
+    got_total, got = consistency_losses(
+        jnp.asarray(center), jnp.asarray(sem), size,
+        jnp.asarray(ema_center), jnp.asarray(ema_sem), ema_size,
+        flip_x=jnp.asarray(flip_x) > 0, flip_y=jnp.asarray(flip_y) > 0,
+        rot_mat=jnp.asarray(rot), scale=jnp.asarray(scale))
+
+    for key in ("center_consistency_loss", "class_consistency_loss",
+                "size_consistency_loss"):
+        np.testing.assert_allclose(
+            float(got[key]), float(want_ep[key]), rtol=2e-5, atol=1e-6,
+            err_msg=key)
+    np.testing.assert_allclose(float(got_total), float(want_total),
+                               rtol=2e-5, atol=1e-6)
+
+
+# --------------------------------------------------- weighted smooth l1
+@pytest.fixture(scope="module")
+def ref_wsl1():
+    box_utils = load_ref("mmdet3d/utils/box_utils.py", "ref_box_utils")
+    utils_pkg = types.ModuleType("mmdet3d.utils")
+    utils_pkg.box_utils = box_utils
+    pkg = types.ModuleType("mmdet3d")
+    pkg.__path__ = []
+    sys.modules.setdefault("mmdet3d", pkg)
+    sys.modules["mmdet3d.utils"] = utils_pkg
+    return load_ref("mmdet3d/models/losses/weighted_smooth_l1_loss.py",
+                    "ref_wsl1")
+
+
+@pytest.mark.parametrize("beta", [1.0 / 9.0, 1e-6])
+def test_weighted_smooth_l1_matches_reference(ref_wsl1, cpu_cuda, rng, beta):
+    B, A, C = 2, 11, 7
+    pred = rng.normal(size=(B, A, C)).astype(np.float32)
+    target = rng.normal(size=(B, A, C)).astype(np.float32)
+    target[0, 3, 2] = np.nan  # the nan-ignore branch
+    code_w = rng.uniform(0.5, 2.0, size=C).astype(np.float32)
+    weights = rng.uniform(0.0, 1.0, size=(B, A)).astype(np.float32)
+
+    mod = ref_wsl1.WeightedSmoothL1Loss(beta=beta, code_weights=list(code_w))
+    want = mod(torch.from_numpy(pred), torch.from_numpy(target),
+               torch.from_numpy(weights)).numpy()
+
+    from nesie_tpu.losses import weighted_smooth_l1
+    got = np.asarray(weighted_smooth_l1(
+        jnp.asarray(pred), jnp.asarray(target), beta=beta,
+        code_weights=code_w, weights=jnp.asarray(weights)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_corner_loss_lidar_matches_reference(ref_wsl1, cpu_cuda, rng):
+    N = 13
+    boxes = np.concatenate([
+        rng.normal(size=(N, 3)),
+        np.abs(rng.normal(size=(N, 3))) + 0.3,
+        rng.uniform(-np.pi, np.pi, size=(N, 1)),
+    ], axis=1).astype(np.float32)
+    gt = boxes + rng.normal(size=(N, 7)).astype(np.float32) * 0.2
+
+    want = ref_wsl1.get_corner_loss_lidar(
+        torch.from_numpy(boxes), torch.from_numpy(gt)).numpy()
+
+    from nesie_tpu.losses import corner_loss_lidar
+    got = np.asarray(corner_loss_lidar(jnp.asarray(boxes), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_reference_corner_template_ignores_heading(ref_wsl1):
+    """Documents the reference quirk: boxes_to_corners_3d never rotates by
+    the heading column (box_utils.py:27-33); upstream PCDet does."""
+    box = torch.tensor([[0.0, 0, 0, 2, 1, 1, np.pi / 2]])
+    c0 = ref_wsl1.get_corner_loss_lidar.__globals__["box_utils"] \
+        .boxes_to_corners_3d(box)
+    box2 = box.clone()
+    box2[0, 6] = 0.0
+    c1 = ref_wsl1.get_corner_loss_lidar.__globals__["box_utils"] \
+        .boxes_to_corners_3d(box2)
+    assert torch.equal(c0, c1)
