@@ -184,6 +184,8 @@ class Visualizer:
         self.bbox_color = bbox_color
         self.points_in_box_color = points_in_box_color
         self.center_mode = center_mode
+        self.rot_axis = rot_axis
+        self.mode = mode
         self.width, self.height = width, height
         self.boxes = []  # (corners (K, 8, 3), color)
         self.seg_num = 0
@@ -193,11 +195,13 @@ class Visualizer:
 
     def _gravity(self, bbox3d):
         b = np.asarray(bbox3d, np.float64).copy()
-        if self.center_mode in ("lidar_bottom", "camera_bottom"):
-            # the reference shifts bottom-centered input up by dz/2
-            # (open3d_vis.py:_draw_bboxes)
-            axis = 2 if self.center_mode == "lidar_bottom" else 1
-            b[:, axis] += b[:, 3 + axis] / 2.0
+        # the reference shifts bottom-centered input to gravity center
+        # along rot_axis: += dim/2 for lidar_bottom, -= dim/2 for
+        # camera_bottom (open3d_vis.py:97-103)
+        if self.center_mode == "lidar_bottom":
+            b[:, self.rot_axis] += b[:, 3 + self.rot_axis] / 2.0
+        elif self.center_mode == "camera_bottom":
+            b[:, self.rot_axis] -= b[:, 3 + self.rot_axis] / 2.0
         return b
 
     def add_bboxes(self, bbox3d, bbox_color=None, points_in_box_color=None):
@@ -214,11 +218,16 @@ class Visualizer:
         b = self._gravity(bbox3d)
         corners = np.asarray(box_corners(jnp.asarray(b, jnp.float32)))
         self.boxes.append((corners, np.asarray(bbox_color, np.float64)))
-        inside = np.asarray(points_in_boxes(
-            jnp.asarray(self.points, jnp.float32)[None],
-            jnp.asarray(b, jnp.float32)[None]))[0]  # (N, K) bool
-        self.colors[inside.any(-1)] = np.asarray(points_in_box_color,
-                                                 np.float64)
+        # the reference recolors in-box points only for plain-xyz clouds
+        # (open3d_vis.py:111); b is already gravity-centered here, so
+        # bottom_center=False.
+        if self.mode == "xyz":
+            inside = np.asarray(points_in_boxes(
+                jnp.asarray(self.points, jnp.float32)[None],
+                jnp.asarray(b, jnp.float32)[None],
+                bottom_center=False))[0]  # (N, K) bool
+            self.colors[inside.any(-1)] = np.asarray(points_in_box_color,
+                                                     np.float64)
 
     def add_seg_mask(self, seg_mask_colors):
         """Extra colorized cloud offset along +x (open3d_vis.py:407-428)."""

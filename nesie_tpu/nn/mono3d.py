@@ -59,9 +59,11 @@ def flip_mono3d_outputs(cls_maps, reg_maps, extra_maps=None,
 
 def merge_aug_mono3d_outputs(outs_list):
     """Average per-view dense outputs, reference merge semantics
-    (single_stage_mono3d.py:136-157): classification maps are averaged;
-    regression maps average channels < 6 but keep view 0's rot/velo/bbox2d
-    channels (>= 6); any further output groups (dir_cls, ...) keep view 0.
+    (single_stage_mono3d.py:136-157): every output group is averaged
+    across views, except regression maps (group 1) keep view 0's
+    rot/velo/bbox2d channels (>= 6) and the dir_cls group (group 2,
+    exactly that one) keeps view 0 wholesale; later groups (attr,
+    centerness, ...) are averaged like the classification maps.
 
     Args:
         outs_list: list over views of (cls_maps, reg_maps, *extra) tuples,
@@ -77,7 +79,7 @@ def merge_aug_mono3d_outputs(outs_list):
             continue
         maps = []
         for j, ref_map in enumerate(group):
-            if i >= 2:  # dir_cls / attr: keep the original view
+            if i == 2:  # dir_cls keeps the original view (and only it)
                 maps.append(ref_map)
                 continue
             avg = jnp.mean(

@@ -34,6 +34,34 @@ def test_offscreen_visualizer_renders_boxes_and_points(tmp_path):
     assert img3.shape == (600, 800, 3)
 
 
+def test_visualizer_recolor_alignment_and_modes():
+    """Pins the review fixes: in-box recoloring must test against the
+    gravity-centered extent (not re-shifted by dz/2), camera_bottom shifts
+    -dim/2 along rot_axis (open3d_vis.py:97-103), and xyzrgb clouds keep
+    their own colors (open3d_vis.py:111)."""
+    from nesie_tpu.eval.visualize import Visualizer
+
+    pts = np.array([[0.0, 0.0, 0.25], [0.0, 0.0, 0.75], [0.0, 0.0, 1.25]])
+    box = np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]])  # z in [0, 1]
+    vis = Visualizer(pts, bbox3d=box, center_mode="lidar_bottom")
+    red = np.array([1.0, 0, 0])
+    in_box = (vis.colors == red).all(-1)
+    np.testing.assert_array_equal(in_box, [True, True, False])
+
+    # camera_bottom: gravity center at rot_axis - dim/2; with rot_axis=2
+    # the same box now spans z in [-1, 0] -> only no point is inside
+    vis_cam = Visualizer(pts, bbox3d=box, center_mode="camera_bottom")
+    assert not (vis_cam.colors == red).all(-1).any()
+    pts_neg = np.array([[0.0, 0.0, -0.5]])
+    vis_cam2 = Visualizer(pts_neg, bbox3d=box, center_mode="camera_bottom")
+    assert (vis_cam2.colors == red).all(-1).all()
+
+    # xyzrgb keeps the cloud's own colors
+    rgb = np.concatenate([pts, np.full((3, 3), 0.3)], axis=1)
+    vis_rgb = Visualizer(rgb, bbox3d=box, mode="xyzrgb")
+    np.testing.assert_allclose(vis_rgb.colors, 0.3)
+
+
 def test_mono3d_flip_and_merge_semantics():
     from nesie_tpu.nn.mono3d import (flip_mono3d_outputs,
                                      merge_aug_mono3d_outputs)
@@ -55,12 +83,15 @@ def test_mono3d_flip_and_merge_semantics():
     np.testing.assert_allclose(np.asarray(dir2[0]), np.asarray(dir0[0]))
 
     # merge: cls averaged; reg channels <6 averaged, >=6 kept from view 0;
-    # group index >=2 (dir) kept from view 0 (single_stage_mono3d.py:136-157)
-    outs_a = (cls0, reg0, dir0)
+    # group index ==2 (dir) kept from view 0; groups >=3 (attr/centerness)
+    # averaged again (single_stage_mono3d.py:136-157)
+    attr0 = [jnp.asarray(rng.normal(size=(1, 3, 6, 8)).astype(np.float32))]
+    outs_a = (cls0, reg0, dir0, attr0)
     cls_b = [c + 1.0 for c in cls0]
     reg_b = [r + 1.0 for r in reg0]
     dir_b = [d + 1.0 for d in dir0]
-    merged = merge_aug_mono3d_outputs([outs_a, (cls_b, reg_b, dir_b)])
+    attr_b = [a + 1.0 for a in attr0]
+    merged = merge_aug_mono3d_outputs([outs_a, (cls_b, reg_b, dir_b, attr_b)])
     np.testing.assert_allclose(np.asarray(merged[0][0]),
                                np.asarray(cls0[0]) + 0.5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(merged[1][0][:, :6]),
@@ -69,6 +100,8 @@ def test_mono3d_flip_and_merge_semantics():
                                np.asarray(reg0[0][:, 6:]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(merged[2][0]),
                                np.asarray(dir0[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged[3][0]),
+                               np.asarray(attr0[0]) + 0.5, atol=1e-6)
 
 
 def test_mono3d_detector_dispatch():

@@ -11,7 +11,8 @@ os.environ.setdefault("XLA_FLAGS", "")
 import jax; jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import json, sys
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from nesie_tpu.config import get_config
 from nesie_tpu.train import runner
