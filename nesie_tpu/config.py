@@ -162,11 +162,19 @@ def get_config(name: str) -> ExperimentConfig:
     """Names mirror the reference configs:
     {nesie,saqe}-votenet-{scannet,sunrgbd}-{pretrain,train}-{005,...,all}."""
     parts = name.split("-")
+    if parts[-1] == "test" and len(parts) == 4:
+        # the reference's {nesie,saqe}-votenet-scannet-test.py is its
+        # train-010 config with RepeatDataset times=5 instead of 10
+        # (the only diff); data repeat is irrelevant at eval time.
+        cfg = get_config("-".join(parts[:-1]) + "-train-010")
+        return dataclasses.replace(
+            cfg, name=name,
+            data=dataclasses.replace(cfg.data, repeat=5))
     if len(parts) < 5:
         raise ValueError(
             f"unknown config '{name}'; expected "
             "{nesie|saqe}-votenet-{scannet|sunrgbd}-{pretrain|train}-"
-            "{005|010|020|050|all}"
+            "{005|010|020|050|all} or {nesie|saqe}-votenet-<dataset>-test"
         )
     family = parts[0]  # nesie | saqe
     dataset = parts[2]  # scannet | sunrgbd

@@ -37,16 +37,17 @@ def apply_view_np(points, h_flip, v_flip, scale):
 
 
 def mapping_back_np(boxes, h_flip, v_flip, scale):
-    """Invert a TTA view on gravity-centered (S, 7) boxes
-    (reference bbox3d_mapping_back: scale^-1 then un-flip)."""
+    """Invert a TTA view on (S, 7) boxes (reference bbox3d_mapping_back,
+    transforms.py:4-23: flip horizontal, then vertical, then scale^-1 —
+    flip order matters for the exact yaw value when both apply)."""
     b = boxes.copy()
-    b[:, :6] /= scale
-    if v_flip:
-        b[:, 1] = -b[:, 1]
-        b[:, 6] = -b[:, 6]
     if h_flip:
         b[:, 0] = -b[:, 0]
         b[:, 6] = np.pi - b[:, 6]
+    if v_flip:
+        b[:, 1] = -b[:, 1]
+        b[:, 6] = -b[:, 6]
+    b[:, :6] /= scale
     return b
 
 
@@ -76,11 +77,18 @@ def merge_aug_bboxes_3d(view_results, views, nms_thr: float = 0.25,
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
 
+    # the reference NMS-merges on *BEV* rotated IoU (merge_augs.py:47
+    # xywhr2xyxyr(bev) -> nms_gpu), not 3D IoU: equalize the z extent so
+    # pairwise_iou3d reduces exactly to the BEV overlap ratio.
+    nms_boxes = boxes.copy()
+    nms_boxes[:, 2] = 0.0
+    nms_boxes[:, 5] = 1.0
+
     keep_all = []
     for cls in np.unique(labels):
         idx = np.flatnonzero(labels == cls)
         order = idx[np.argsort(-scores[idx])]
-        iou = pairwise_iou3d(boxes[order], boxes[order])
+        iou = pairwise_iou3d(nms_boxes[order], nms_boxes[order])
         alive = np.ones(len(order), bool)
         for i in range(len(order)):
             if not alive[i]:

@@ -212,3 +212,18 @@ def test_sunrgbd_semi_pipeline(tmp_path):
     cfg = get_config("nesie-votenet-sunrgbd-train-010")
     assert cfg.model.num_classes == 10
     assert cfg.data.train_ann_file == "sunrgbd_infos_train.pkl"
+
+
+def test_reference_test_config_names_resolve():
+    """The reference ships {nesie,saqe}-votenet-scannet-test.py = its
+    train-010 config with RepeatDataset times=5 (the only diff); the same
+    names must resolve here."""
+    from nesie_tpu.config import get_config
+
+    for family in ("nesie", "saqe"):
+        cfg = get_config(f"{family}-votenet-scannet-test")
+        base = get_config(f"{family}-votenet-scannet-train-010")
+        assert cfg.data.repeat == 5
+        assert cfg.mode == base.mode == "semi"
+        assert cfg.model == base.model
+        assert cfg.name == f"{family}-votenet-scannet-test"

@@ -201,6 +201,166 @@ def test_corner_loss_lidar_matches_reference(ref_wsl1, cpu_cuda, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def _np_overlap_xyxyr(a, b):
+    """Numpy port of box_overlap (iou3d_kernel.cu:127-241): rotated-rect
+    intersection via edge crossings + contained corners, angle-sorted
+    shoelace. Boxes are (x1, y1, x2, y2, ry) — corners built axis-aligned
+    then rotated CCW by ry around the center."""
+    def corners(box):
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        pts = np.array([[box[0], box[1]], [box[2], box[1]],
+                        [box[2], box[3]], [box[0], box[3]]])
+        c, s = np.cos(box[4]), np.sin(box[4])
+        rel = pts - [cx, cy]
+        # rotate_around_center: x' = x*cos + y*sin; y' = -x*sin + y*cos
+        return np.stack([rel[:, 0] * c + rel[:, 1] * s,
+                         -rel[:, 0] * s + rel[:, 1] * c], 1) + [cx, cy]
+
+    def in_box(p, box):
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        c, s = np.cos(-box[4]), np.sin(-box[4])
+        rx = (p[0] - cx) * c + (p[1] - cy) * s
+        ry = -(p[0] - cx) * s + (p[1] - cy) * c
+        return (box[0] - 1e-5 < rx + cx < box[2] + 1e-5
+                and box[1] - 1e-5 < ry + cy < box[3] + 1e-5)
+
+    def seg_inter(p0, p1, q0, q1):
+        d1, d2 = p1 - p0, q1 - q0
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:
+            return None
+        t = ((q0[0] - p0[0]) * d2[1] - (q0[1] - p0[1]) * d2[0]) / denom
+        u = ((q0[0] - p0[0]) * d1[1] - (q0[1] - p0[1]) * d1[0]) / denom
+        if -1e-9 <= t <= 1 + 1e-9 and -1e-9 <= u <= 1 + 1e-9:
+            return p0 + t * d1
+        return None
+
+    ca, cb = corners(a), corners(b)
+    pts = []
+    for i in range(4):
+        for j in range(4):
+            p = seg_inter(ca[i], ca[(i + 1) % 4], cb[j], cb[(j + 1) % 4])
+            if p is not None:
+                pts.append(p)
+    for k in range(4):
+        if in_box(ca[k], b):
+            pts.append(ca[k])
+        if in_box(cb[k], a):
+            pts.append(cb[k])
+    if len(pts) < 3:
+        return 0.0
+    pts = np.asarray(pts)
+    center = pts.mean(0)
+    ang = np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    pts = pts[np.argsort(ang)]
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _np_nms_gpu(boxes, scores, thresh):
+    """Numpy replica of iou3d_utils.nms_gpu (iou3d_utils.py:25-51 +
+    nms_kernel, iou3d_kernel.cu:284-343): sort by score, greedy-suppress
+    on BEV rotated IoU > thresh, return kept original indices."""
+    b = boxes.detach().numpy().astype(np.float64)
+    s = scores.detach().numpy()
+    order = np.argsort(-s, kind="stable")
+    alive = np.ones(len(order), bool)
+    keep = []
+    for ii in range(len(order)):
+        if not alive[ii]:
+            continue
+        keep.append(order[ii])
+        bi = b[order[ii]]
+        area_i = (bi[2] - bi[0]) * (bi[3] - bi[1])
+        for jj in range(ii + 1, len(order)):
+            if not alive[jj]:
+                continue
+            bj = b[order[jj]]
+            inter = _np_overlap_xyxyr(bi, bj)
+            area_j = (bj[2] - bj[0]) * (bj[3] - bj[1])
+            if inter / max(area_i + area_j - inter, 1e-8) > thresh:
+                alive[jj] = False
+    return torch.as_tensor(np.asarray(keep, np.int64))
+
+
+@pytest.fixture(scope="module")
+def ref_merge_augs():
+    """Load the reference merge_aug_bboxes_3d with its box structures and
+    a numpy replica of the CUDA nms_gpu."""
+    refshim.install_shims()
+    for name in ("mmdet3d", "mmdet3d.core", "mmdet3d.core.points",
+                 "mmdet3d.ops", "mmdet3d.ops.iou3d"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["mmdet3d.core.points"].BasePoints = object
+    sys.modules["mmdet3d.ops"].points_in_boxes_batch = None
+    sys.modules["mmdet3d.ops.iou3d"].iou3d_cuda = None
+    utils = load_ref("mmdet3d/core/bbox/structures/utils.py",
+                     "refboxes.utils")
+    load_ref("mmdet3d/core/bbox/structures/base_box3d.py",
+             "refboxes.base_box3d")
+    depth = load_ref("mmdet3d/core/bbox/structures/depth_box3d.py",
+                     "refboxes.depth_box3d")
+    transforms = load_ref("mmdet3d/core/bbox/transforms.py",
+                          "refboxes.transforms")
+    iou3d_utils = types.ModuleType("mmdet3d.ops.iou3d.iou3d_utils")
+    iou3d_utils.nms_gpu = _np_nms_gpu
+    iou3d_utils.nms_normal_gpu = None
+    sys.modules["mmdet3d.ops.iou3d.iou3d_utils"] = iou3d_utils
+    bbox_pkg = types.ModuleType("refpp.bbox")
+    bbox_pkg.bbox3d2result = transforms.bbox3d2result
+    bbox_pkg.bbox3d_mapping_back = transforms.bbox3d_mapping_back
+    bbox_pkg.xywhr2xyxyr = utils.xywhr2xyxyr
+    sys.modules["refpp.bbox"] = bbox_pkg
+    merge = load_ref("mmdet3d/core/post_processing/merge_augs.py",
+                     "refpp.post_processing.merge_augs")
+    return merge, depth.DepthInstance3DBoxes
+
+
+def test_merge_aug_bboxes_3d_matches_reference(ref_merge_augs):
+    """Full TTA merge (merge_augs.py:7-91): per-view un-flip/un-scale,
+    per-class BEV-rotated-IoU NMS, global score sort + cap, vs
+    eval/tta.merge_aug_bboxes_3d on identical detections."""
+    merge_mod, DepthBoxes = ref_merge_augs
+    rng = np.random.default_rng(11)
+    views = [(False, False, 1.0), (True, False, 0.9),
+             (False, True, 1.1), (True, True, 1.0)]
+    aug_results, img_metas, view_results = [], [], []
+    for (hf, vf, sc) in views:
+        n = 12
+        boxes = np.concatenate([
+            rng.uniform(-2, 2, (n, 2)), rng.uniform(0, 1, (n, 1)),
+            rng.uniform(0.4, 1.5, (n, 3)),
+            rng.uniform(-np.pi, np.pi, (n, 1)),
+        ], 1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        labels = rng.integers(0, 3, n).astype(np.int64)
+        aug_results.append(dict(
+            boxes_3d=DepthBoxes(torch.from_numpy(boxes.copy()), box_dim=7,
+                                with_yaw=True),
+            scores_3d=torch.from_numpy(scores),
+            labels_3d=torch.from_numpy(labels)))
+        img_metas.append([dict(pcd_scale_factor=sc, pcd_horizontal_flip=hf,
+                               pcd_vertical_flip=vf)])
+        view_results.append(dict(boxes=boxes, scores=scores, labels=labels))
+
+    cfg = SimpleNamespace(use_rotate_nms=True, nms_thr=0.25, max_num=30)
+    want = merge_mod.merge_aug_bboxes_3d(aug_results, img_metas, cfg)
+
+    from nesie_tpu.eval.tta import merge_aug_bboxes_3d
+    got = merge_aug_bboxes_3d(view_results, views, nms_thr=0.25, max_num=30)
+
+    want_boxes = want["boxes_3d"].tensor.numpy()
+    assert got["boxes"].shape == want_boxes.shape
+    np.testing.assert_allclose(got["boxes"], want_boxes, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(got["scores"], want["scores_3d"].numpy(),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(got["labels"], want["labels_3d"].numpy())
+
+
 def test_reference_corner_template_ignores_heading(ref_wsl1):
     """Documents the reference quirk: boxes_to_corners_3d never rotates by
     the heading column (box_utils.py:27-33); upstream PCDet does."""
