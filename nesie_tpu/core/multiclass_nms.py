@@ -27,9 +27,18 @@ def _rotated_iou_matrix(boxes5, eps=1e-8):
     return inter / jnp.maximum(union, eps)
 
 
-def nms_bev_rotated(boxes5, scores, thresh: float, valid_mask=None):
-    """Greedy rotated-BEV NMS keep mask (reference iou3d nms_gpu analog)."""
+def nms_bev_rotated(boxes5, scores, thresh: float, valid_mask=None,
+                    literal_reference_bev: bool = True):
+    """Greedy rotated-BEV NMS keep mask (reference iou3d nms_gpu analog).
+
+    ``literal_reference_bev`` (default) reproduces the reference kernel's
+    clockwise corner rotation (iou3d_kernel.cu:111-117, applied to yaw
+    as-is from ``.bev``) by negating the angle before the CCW polygon
+    clip; identical for axis-aligned boxes (REFERENCE_QUIRKS.md item 11).
+    """
     n = boxes5.shape[0]
+    if literal_reference_bev:
+        boxes5 = jnp.concatenate([boxes5[:, :4], -boxes5[:, 4:5]], axis=1)
     iou = _rotated_iou_matrix(boxes5)
     valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask
     return greedy_keep_fixpoint(iou > thresh, scores, valid)

@@ -24,7 +24,7 @@ def average_precision(recalls, precisions):
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
-def eval_det_cls(pred_by_scene, gt_by_scene, iou_thrs):
+def eval_det_cls(pred_by_scene, gt_by_scene, iou_thrs, bev: str = "cw_kernel"):
     """Per-class evaluation.
 
     Args:
@@ -45,7 +45,12 @@ def eval_det_cls(pred_by_scene, gt_by_scene, iou_thrs):
         if len(boxes) == 0:
             continue
         gt = gt_by_scene.get(sid, np.zeros((0, 7)))
-        iou = pairwise_iou3d(boxes, gt) if len(gt) else np.zeros((len(boxes), 1))
+        # the reference's matching IoU goes through overlaps ->
+        # iou3d_cuda.boxes_overlap_bev_gpu, the CW-rotating kernel
+        # (base_box3d.py:387); identical for yaw=0 (ScanNet), a mirrored
+        # BEV for yawed SUN RGB-D boxes — see REFERENCE_QUIRKS.md item 11.
+        iou = (pairwise_iou3d(boxes, gt, bev=bev)
+               if len(gt) else np.zeros((len(boxes), 1)))
         for i in range(len(boxes)):
             scene_ids.append(sid)
             confidences.append(scores[i])
@@ -86,7 +91,8 @@ def eval_det_cls(pred_by_scene, gt_by_scene, iou_thrs):
     return out
 
 
-def indoor_eval(gt_annos, dt_annos, iou_thrs=(0.25, 0.5), class_names=None):
+def indoor_eval(gt_annos, dt_annos, iou_thrs=(0.25, 0.5), class_names=None,
+                bev: str = "cw_kernel"):
     """Full-dataset evaluation.
 
     Args:
@@ -94,6 +100,9 @@ def indoor_eval(gt_annos, dt_annos, iou_thrs=(0.25, 0.5), class_names=None):
             ``boxes`` (G, 7) gravity-centered and ``labels`` (G,).
         dt_annos: list of dicts with ``boxes`` (S, 7), ``scores`` (S,),
             ``labels`` (S,).
+        bev: matching-IoU BEV convention (default ``"cw_kernel"``, the
+            reference's eval behavior; ``"ccw"`` for the geometrically
+            consistent rotation — differs only for yawed boxes).
     Returns:
         dict of metrics incl. per-class AP/recall and mAP/mAR per threshold.
     """
@@ -112,7 +121,7 @@ def indoor_eval(gt_annos, dt_annos, iou_thrs=(0.25, 0.5), class_names=None):
     for cls in sorted(gt.keys()):
         if sum(len(v) for v in gt[cls].values()) == 0:
             continue
-        ret = eval_det_cls(pred[cls], gt[cls], iou_thrs)
+        ret = eval_det_cls(pred[cls], gt[cls], iou_thrs, bev=bev)
         name = class_names[cls] if class_names else str(cls)
         for t, (rec, prec, ap) in zip(iou_thrs, ret):
             results[f"{name}_AP_{t:.2f}"] = ap

@@ -70,11 +70,25 @@ def _pair_intersection_area(c1, c2):
     return np.where(nv > 0, area, 0.0)
 
 
-def pairwise_iou3d(boxes1, boxes2):
-    """(N, 7) x (M, 7) gravity-centered boxes -> (N, M) rotated 3D IoU."""
+def pairwise_iou3d(boxes1, boxes2, bev: str = "ccw"):
+    """(N, 7) x (M, 7) gravity-centered boxes -> (N, M) rotated 3D IoU.
+
+    ``bev`` selects the BEV rotation convention:
+      * ``"ccw"`` — corners rotated counterclockwise by +yaw, matching the
+        box classes / the reference's differentiable ``cal_iou_3d``.
+      * ``"cw_kernel"`` — the reference's iou3d CUDA kernel
+        (iou3d_kernel.cu:111-117 rotates corners by R(-yaw)), which
+        ``BaseInstance3DBoxes.overlaps`` (base_box3d.py:387) and
+        ``nms_gpu`` feed at eval time; equivalent to ccw on yaw-negated
+        boxes. Identical for axis-aligned (yaw=0) boxes; a mirror image
+        for yawed ones. See REFERENCE_QUIRKS.md item 11.
+    """
     n, m = len(boxes1), len(boxes2)
     if n == 0 or m == 0:
         return np.zeros((n, m))
+    if bev == "cw_kernel":
+        boxes1 = np.concatenate([boxes1[:, :6], -boxes1[:, 6:7]], 1)
+        boxes2 = np.concatenate([boxes2[:, :6], -boxes2[:, 6:7]], 1)
     a = np.repeat(boxes1[:, None], m, 1)  # (N, M, 7)
     b = np.repeat(boxes2[None], n, 0)
     c1 = _bev_corners(a[..., [0, 1, 3, 4, 6]])

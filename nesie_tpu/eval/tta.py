@@ -79,7 +79,9 @@ def merge_aug_bboxes_3d(view_results, views, nms_thr: float = 0.25,
 
     # the reference NMS-merges on *BEV* rotated IoU (merge_augs.py:47
     # xywhr2xyxyr(bev) -> nms_gpu), not 3D IoU: equalize the z extent so
-    # pairwise_iou3d reduces exactly to the BEV overlap ratio.
+    # pairwise_iou3d reduces exactly to the BEV overlap ratio. nms_gpu's
+    # kernel rotates corners clockwise (iou3d_kernel.cu:111-117) — the
+    # "cw_kernel" convention (REFERENCE_QUIRKS.md item 11).
     nms_boxes = boxes.copy()
     nms_boxes[:, 2] = 0.0
     nms_boxes[:, 5] = 1.0
@@ -88,7 +90,8 @@ def merge_aug_bboxes_3d(view_results, views, nms_thr: float = 0.25,
     for cls in np.unique(labels):
         idx = np.flatnonzero(labels == cls)
         order = idx[np.argsort(-scores[idx])]
-        iou = pairwise_iou3d(nms_boxes[order], nms_boxes[order])
+        iou = pairwise_iou3d(nms_boxes[order], nms_boxes[order],
+                             bev="cw_kernel")
         alive = np.ones(len(order), bool)
         for i in range(len(order)):
             if not alive[i]:

@@ -204,6 +204,27 @@ class Visualizer:
             b[:, self.rot_axis] -= b[:, 3 + self.rot_axis] / 2.0
         return b
 
+    def _to_z_up(self, arr3):
+        """Swap coordinate columns so rot_axis plays the z role (identity
+        for the default rot_axis=2)."""
+        if self.rot_axis == 2:
+            return arr3
+        out = arr3.copy()
+        out[:, [self.rot_axis, 2]] = out[:, [2, self.rot_axis]]
+        return out
+
+    def _boxes_z_up(self, b):
+        """Boxes with yaw about rot_axis -> equivalent z-up boxes: swap
+        center/dim columns (rot_axis <-> 2) and negate yaw (an axis swap
+        flips handedness). Identity for rot_axis=2."""
+        if self.rot_axis == 2:
+            return b
+        out = b.copy()
+        out[:, [self.rot_axis, 2]] = out[:, [2, self.rot_axis]]
+        out[:, [3 + self.rot_axis, 5]] = out[:, [5, 3 + self.rot_axis]]
+        out[:, 6] = -out[:, 6]
+        return out
+
     def add_bboxes(self, bbox3d, bbox_color=None, points_in_box_color=None):
         """Wireframe boxes + recolor the points inside them
         (open3d_vis.py:387-406)."""
@@ -216,15 +237,21 @@ class Visualizer:
         if points_in_box_color is None:
             points_in_box_color = self.points_in_box_color
         b = self._gravity(bbox3d)
-        corners = np.asarray(box_corners(jnp.asarray(b, jnp.float32)))
+        # corners/in-box math assumes yaw about z; for other rot_axis
+        # values work in a swapped frame and swap the corners back
+        bz = self._boxes_z_up(b)
+        corners = np.asarray(box_corners(jnp.asarray(bz, jnp.float32)))
+        if self.rot_axis != 2:
+            corners = corners.copy()
+            corners[..., [self.rot_axis, 2]] = corners[..., [2, self.rot_axis]]
         self.boxes.append((corners, np.asarray(bbox_color, np.float64)))
         # the reference recolors in-box points only for plain-xyz clouds
         # (open3d_vis.py:111); b is already gravity-centered here, so
         # bottom_center=False.
         if self.mode == "xyz":
             inside = np.asarray(points_in_boxes(
-                jnp.asarray(self.points, jnp.float32)[None],
-                jnp.asarray(b, jnp.float32)[None],
+                jnp.asarray(self._to_z_up(self.points), jnp.float32)[None],
+                jnp.asarray(bz, jnp.float32)[None],
                 bottom_center=False))[0]  # (N, K) bool
             self.colors[inside.any(-1)] = np.asarray(points_in_box_color,
                                                      np.float64)

@@ -272,11 +272,16 @@ class _BoxArr:
 
     @staticmethod
     def overlaps(a, b):
+        # the reference's real overlaps is the CW-rotating iou3d kernel
+        # (base_box3d.py:387, REFERENCE_QUIRKS item 11); inject the port's
+        # cw_kernel mode so both sides use the reference convention and
+        # the comparison isolates greedy matching + AP logic
         from nesie_tpu.eval.np_iou import pairwise_iou3d
 
         return torch.from_numpy(
             pairwise_iou3d(a.tensor.reshape(-1, 7).numpy(),
-                           b.tensor.reshape(-1, 7).numpy()))
+                           b.tensor.reshape(-1, 7).numpy(),
+                           bev="cw_kernel"))
 
 
 def _random_scene_boxes(rng, n):

@@ -319,20 +319,24 @@ def ref_merge_augs():
     return merge, depth.DepthInstance3DBoxes
 
 
-def test_merge_aug_bboxes_3d_matches_reference(ref_merge_augs):
+@pytest.mark.parametrize("seed", [0, 1, 3, 5, 11])
+def test_merge_aug_bboxes_3d_matches_reference(ref_merge_augs, seed):
     """Full TTA merge (merge_augs.py:7-91): per-view un-flip/un-scale,
-    per-class BEV-rotated-IoU NMS, global score sort + cap, vs
-    eval/tta.merge_aug_bboxes_3d on identical detections."""
+    per-class BEV-rotated-IoU NMS (the kernel's clockwise rotation —
+    REFERENCE_QUIRKS item 11), global score sort + cap, vs
+    eval/tta.merge_aug_bboxes_3d on identical detections. Multi-seed with
+    clustered boxes so many pairs straddle the NMS threshold — a mirrored
+    rotation convention fails this within a few seeds."""
     merge_mod, DepthBoxes = ref_merge_augs
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     views = [(False, False, 1.0), (True, False, 0.9),
              (False, True, 1.1), (True, True, 1.0)]
     aug_results, img_metas, view_results = [], [], []
     for (hf, vf, sc) in views:
         n = 12
         boxes = np.concatenate([
-            rng.uniform(-2, 2, (n, 2)), rng.uniform(0, 1, (n, 1)),
-            rng.uniform(0.4, 1.5, (n, 3)),
+            rng.uniform(-1, 1, (n, 2)), rng.uniform(0, 1, (n, 1)),
+            rng.uniform(0.4, 1.8, (n, 3)),
             rng.uniform(-np.pi, np.pi, (n, 1)),
         ], 1).astype(np.float32)
         scores = rng.uniform(0.1, 1.0, n).astype(np.float32)

@@ -62,6 +62,34 @@ def test_visualizer_recolor_alignment_and_modes():
     np.testing.assert_allclose(vis_rgb.colors, 0.3)
 
 
+def test_visualizer_rot_axis_consistency():
+    """rot_axis=1 (camera y-up) must rotate the wireframe and run the
+    in-box test about that axis: the recolor mask and corner span must be
+    the axis-swap of the equivalent z-up scene."""
+    from nesie_tpu.eval.visualize import Visualizer
+
+    rng = np.random.default_rng(3)
+    pts_z = rng.uniform(-2, 2, size=(500, 3))
+    box_z = np.array([[0.3, -0.2, 0.1, 1.6, 0.9, 1.1, 0.7]])
+    vis_z = Visualizer(pts_z, bbox3d=box_z, center_mode="lidar_bottom")
+
+    # swap y<->z for points; box center/dims swap, yaw negates (handedness)
+    pts_y = pts_z[:, [0, 2, 1]]
+    box_y = box_z[:, [0, 2, 1, 3, 5, 4, 6]].copy()
+    box_y[:, 6] = -box_y[:, 6]
+    vis_y = Visualizer(pts_y, bbox3d=box_y, center_mode="lidar_bottom",
+                       rot_axis=1)
+
+    red = np.array([1.0, 0, 0])
+    np.testing.assert_array_equal((vis_z.colors == red).all(-1),
+                                  (vis_y.colors == red).all(-1))
+    cz = vis_z.boxes[0][0]
+    cy = vis_y.boxes[0][0]
+    np.testing.assert_allclose(np.sort(cy[..., 1].ravel()),
+                               np.sort(cz[..., 2].ravel()), atol=1e-5)
+    assert (vis_z.colors == red).all(-1).sum() > 0
+
+
 def test_mono3d_flip_and_merge_semantics():
     from nesie_tpu.nn.mono3d import (flip_mono3d_outputs,
                                      merge_aug_mono3d_outputs)
