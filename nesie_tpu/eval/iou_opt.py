@@ -44,8 +44,11 @@ def iou_opt_boxes(
         gc, gs = grad_fn(center, size)
         return center + opt_rate * gc, size + opt_rate * gs
 
+    # the reference's `while True: ...; count += 1; if count > opt_step:
+    # break` applies opt_step + 1 gradient updates (votenet_nesie.py:
+    # 540-560), not opt_step
     center, size = jax.lax.fori_loop(
-        0, opt_step, body, (bbox[..., :3], bbox[..., 3:6])
+        0, opt_step + 1, body, (bbox[..., :3], bbox[..., 3:6])
     )
     refined = jnp.concatenate([center, size, heading[..., None]], axis=-1)
     out = dict(results)
