@@ -182,6 +182,133 @@ def test_dbsampler_sample_all_matches_reference(ref_dbsampler, tmp_path,
         np.testing.assert_array_equal(got["group_ids"], want["group_ids"])
 
 
+def _write_scene(tmp_path, rng):
+    """Synthetic raw ScanNet scan: binary PLY + aggregation/segs json +
+    meta with axisAlignment + nyu40 label-map TSV."""
+    import json
+    import struct
+
+    scan = tmp_path / "scene0000_00"
+    scan.mkdir()
+    n = 300
+    xyz = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    ply = scan / "scene0000_00_vh_clean_2.ply"
+    with open(ply, "wb") as f:
+        f.write((
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n").encode())
+        for i in range(n):
+            f.write(struct.pack("<fffBBB", *xyz[i], *rgb[i]))
+
+    # 30 segments of 10 verts; 6 objects of 3-4 segments each
+    seg_ids = np.repeat(np.arange(30), 10)
+    (scan / "scene0000_00_vh_clean_2.0.010000.segs.json").write_text(
+        json.dumps({"segIndices": seg_ids.tolist()}))
+    labels = ["cabinet", "bed", "chair", "sofa", "table", "chair"]
+    groups = []
+    seg_pool = list(range(30))
+    rng.shuffle(seg_pool)
+    for oid, lab in enumerate(labels):
+        k = 3 + (oid % 2)
+        segs = [int(seg_pool.pop()) for _ in range(k)]
+        groups.append({"objectId": oid, "label": lab, "segments": segs})
+    (scan / "scene0000_00.aggregation.json").write_text(
+        json.dumps({"segGroups": groups}))
+
+    theta = 0.35
+    aam = np.eye(4)
+    aam[:2, :2] = [[np.cos(theta), -np.sin(theta)],
+                   [np.sin(theta), np.cos(theta)]]
+    aam[:3, 3] = [0.2, -0.4, 0.05]
+    (scan / "scene0000_00.txt").write_text(
+        "axisAlignment = " + " ".join(f"{v:.6f}" for v in aam.ravel())
+        + "\ncolorHeight = 968\n")
+
+    tsv = tmp_path / "scannetv2-labels.combined.tsv"
+    rows = ["raw_category\tnyu40id", "cabinet\t3", "bed\t4", "chair\t5",
+            "sofa\t6", "table\t7"]
+    tsv.write_text("\n".join(rows) + "\n")
+    return scan, tsv, aam
+
+
+@pytest.fixture(scope="module")
+def ref_scannet_export():
+    """Load the reference's load_scannet_data.export with a minimal
+    plyfile shim (the real package is not installed)."""
+    import struct
+
+    class _Vertex:
+        def __init__(self, data):
+            self.data = data
+            self.count = len(data)
+
+    class _PlyData:
+        def __init__(self, vert):
+            self._vert = vert
+
+        def __getitem__(self, key):
+            assert key == "vertex"
+            return self._vert
+
+        @staticmethod
+        def read(f):
+            # independent parser for the fixed test header above
+            header = b""
+            while not header.endswith(b"end_header\n"):
+                header += f.read(1)
+            n = int([ln for ln in header.decode().splitlines()
+                     if ln.startswith("element vertex")][0].split()[-1])
+            dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                           ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+            data = np.frombuffer(f.read(n * dt.itemsize), dtype=dt)
+            return _PlyData(_Vertex(data))
+
+    plyfile = types.ModuleType("plyfile")
+    plyfile.PlyData = _PlyData
+    sys.modules.setdefault("plyfile", plyfile)
+    utils = load_ref("data/scannet/scannet_utils.py", "ref_scannet_utils")
+    sys.modules["scannet_utils"] = utils
+    return load_ref("data/scannet/load_scannet_data.py",
+                    "ref_load_scannet_data")
+
+
+def test_scannet_export_matches_reference(ref_scannet_export, tmp_path):
+    """Raw-scan extraction (load_scannet_data.py:73-166): vertex parsing,
+    label/instance assignment through segs+aggregation, axis alignment,
+    and aligned bbox extraction vs data/scannet_prep.export_scan, with the
+    reference's batch_load OBJ_CLASS_IDS filter applied downstream."""
+    rng = np.random.default_rng(5)
+    scan, tsv, aam = _write_scene(tmp_path, rng)
+
+    mesh, sem, ins, unaligned, aligned, obj2label, ref_aam = (
+        ref_scannet_export.export(
+            str(scan / "scene0000_00_vh_clean_2.ply"),
+            str(scan / "scene0000_00.aggregation.json"),
+            str(scan / "scene0000_00_vh_clean_2.0.010000.segs.json"),
+            str(scan / "scene0000_00.txt"),
+            str(tsv)))
+
+    from nesie_tpu.data.scannet_prep import export_scan
+    got = export_scan(scan, "scene0000_00", tsv, max_num_points=10_000)
+
+    np.testing.assert_allclose(got["points"], mesh, rtol=1e-6)
+    np.testing.assert_array_equal(got["semantic_ids"], sem.astype(np.int64))
+    np.testing.assert_array_equal(got["instance_ids"], ins.astype(np.int64))
+    np.testing.assert_allclose(got["axis_align_matrix"], ref_aam, rtol=1e-6)
+
+    # the reference filters classes downstream (batch_load_scannet_data.py
+    # OBJ_CLASS_IDS); export_scan filters at extraction with the same ids
+    obj_ids = np.array([3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28,
+                        33, 34, 36, 39])
+    keep = np.isin(aligned[:, -1], obj_ids)
+    np.testing.assert_allclose(got["boxes"], aligned[keep], rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_batch_sampler_wrap_semantics_match_reference(ref_dbsampler,
                                                       monkeypatch):
     """The >= wrap quirk (dbsampler.py:50): a request that exactly reaches
