@@ -365,6 +365,69 @@ def test_merge_aug_bboxes_3d_matches_reference(ref_merge_augs, seed):
     np.testing.assert_array_equal(got["labels"], want["labels_3d"].numpy())
 
 
+def test_cw_kernel_iou_values_match_kernel_replica():
+    """pairwise_iou3d(bev='cw_kernel') must reproduce the iou3d CUDA
+    kernel's IoU *values* (not just NMS outcomes): compare the full matrix
+    against the literal numpy replica of iou_bev (iou3d_kernel.cu:244-266)
+    on z-equalized boxes; the ccw mode must differ on yawed pairs."""
+    from nesie_tpu.eval.np_iou import pairwise_iou3d
+
+    rng = np.random.default_rng(2)
+    n = 24
+    boxes = np.concatenate([
+        rng.uniform(-1.5, 1.5, (n, 2)), np.zeros((n, 1)),
+        rng.uniform(0.5, 2.0, (n, 2)), np.ones((n, 1)),
+        rng.uniform(-np.pi, np.pi, (n, 1)),
+    ], 1).astype(np.float64)
+
+    got = pairwise_iou3d(boxes, boxes, bev="cw_kernel")
+
+    def to_xyxyr(b):
+        return np.array([b[0] - b[3] / 2, b[1] - b[4] / 2,
+                         b[0] + b[3] / 2, b[1] + b[4] / 2, b[6]])
+
+    want = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            bi, bj = to_xyxyr(boxes[i]), to_xyxyr(boxes[j])
+            inter = _np_overlap_xyxyr(bi, bj)
+            sa = boxes[i, 3] * boxes[i, 4]
+            sb = boxes[j, 3] * boxes[j, 4]
+            want[i, j] = inter / max(sa + sb - inter, 1e-8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    ccw = pairwise_iou3d(boxes, boxes, bev="ccw")
+    assert np.abs(ccw - want).max() > 0.05  # conventions genuinely differ
+
+
+def test_nms_bev_rotated_literal_matches_kernel_replica():
+    """core.multiclass_nms.nms_bev_rotated(literal_reference_bev=True) vs
+    the numpy nms_gpu replica on identical clustered boxes."""
+    import jax.numpy as jnp
+
+    from nesie_tpu.core.multiclass_nms import nms_bev_rotated
+
+    rng = np.random.default_rng(9)
+    n = 20
+    boxes5 = np.concatenate([
+        rng.uniform(-1, 1, (n, 2)), rng.uniform(0.5, 2.0, (n, 2)),
+        rng.uniform(-np.pi, np.pi, (n, 1)),
+    ], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+
+    xyxyr = np.stack([
+        boxes5[:, 0] - boxes5[:, 2] / 2, boxes5[:, 1] - boxes5[:, 3] / 2,
+        boxes5[:, 0] + boxes5[:, 2] / 2, boxes5[:, 1] + boxes5[:, 3] / 2,
+        boxes5[:, 4]], 1)
+    want = np.sort(_np_nms_gpu(torch.from_numpy(xyxyr),
+                               torch.from_numpy(scores), 0.25).numpy())
+
+    keep = np.asarray(nms_bev_rotated(jnp.asarray(boxes5),
+                                      jnp.asarray(scores), 0.25))
+    got = np.sort(np.flatnonzero(keep))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_reference_corner_template_ignores_heading(ref_wsl1):
     """Documents the reference quirk: boxes_to_corners_3d never rotates by
     the heading column (box_utils.py:27-33); upstream PCDet does."""
