@@ -1,10 +1,20 @@
-"""Position-adaptive convolution (reference mmdet3d/ops/paconv/: PAConv +
-the assign_score_withk CUDA kernel). Present-but-unused parity op.
+"""Position-adaptive convolution (reference mmdet3d/ops/paconv/paconv.py:
+ScoreNet + PAConv, the non-CUDA formulation). Present-but-unused parity
+op, faithful to the reference math (oracle-tested against the reference
+module forward in tests/test_reference_oracle6.py):
 
-PAConv computes per-neighbor convolution weights as a soft mixture of a
-learned weight bank: ScoreNet maps relative position -> (K, M) scores,
-output = sum_m score_m * (feat @ W_m). The CUDA ``assign_score_withk``
-fused gather+mix becomes one einsum on the MXU.
+* ScoreNet maps per-pair xyz features through 1x1 Conv+BN+ReLU MLPs to
+  M mixing scores (paconv.py:12-104; last layer bias, no act, optional
+  last_bn; softmax/sigmoid with a temperature).
+* PAConv builds the kernel input (``w_neighbor``: concat of
+  (feat - center, feat), paconv.py:264-268; K slot 0 is the center),
+  multiplies by the (kernel_mul*in_c, M*out_c) weight bank, and
+  aggregates with the scores (utils.assign_score) — followed by BN2d
+  (momentum 0.1) + ReLU (paconv.py:283-296).
+
+The CUDA ``assign_score_withk`` fused gather+mix (used only by
+PAConvCUDA) becomes one einsum on the MXU (``assign_score_withk``
+below + ``assign_kernel_withoutk`` mirroring utils.py:47-88).
 """
 from __future__ import annotations
 
@@ -40,53 +50,105 @@ def assign_score_withk(scores, point_feats, center_feats, knn_idx):
 
 
 class ScoreNet(nn.Module):
-    """Relative-position -> weight-bank scores (reference paconv.py ScoreNet)."""
+    """Per-pair xyz features -> weight-bank scores (reference ScoreNet,
+    paconv.py:12-104). ``mlp_channels`` is the full chain including the
+    input width and the final M, as in the reference."""
 
-    num_matrices: int
-    hidden: Sequence[int] = (16, 16)
+    mlp_channels: Sequence[int]
+    last_bn: bool = False
     score_norm: str = "softmax"
+    temp_factor: float = 1.0
 
     @nn.compact
-    def __call__(self, rel_pos, train: bool = False):
-        """rel_pos: (..., D) -> scores (..., M)."""
-        h = rel_pos
-        for i, c in enumerate(self.hidden):
-            h = nn.Dense(c, name=f"dense{i}")(h)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"bn{i}",
-            )(h)
+    def __call__(self, xyz_features, train: bool = False):
+        """xyz_features: (B, npoint, K, C_in) -> scores (B, npoint, K, M)."""
+        assert self.score_norm in ("softmax", "sigmoid", "identity")
+        h = xyz_features
+        n = len(self.mlp_channels)
+        for i in range(n - 2):
+            # ConvModule 1x1: conv (bias='auto' -> False under BN) + BN + ReLU
+            h = nn.Dense(self.mlp_channels[i + 1], use_bias=False,
+                         name=f"layer{i}_conv")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"layer{i}_bn")(h)
             h = nn.relu(h)
-        s = nn.Dense(self.num_matrices, name="out")(h)
+        i = n - 2
+        # last layer: no act; bias unless last_bn (paconv.py:60-71)
+        h = nn.Dense(self.mlp_channels[-1], use_bias=not self.last_bn,
+                     name=f"layer{i}_conv")(h)
+        if self.last_bn:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"layer{i}_bn")(h)
         if self.score_norm == "softmax":
-            return jax.nn.softmax(s, axis=-1)
-        return jax.nn.sigmoid(s)
+            return jax.nn.softmax(h / self.temp_factor, axis=-1)
+        if self.score_norm == "sigmoid":
+            return jax.nn.sigmoid(h / self.temp_factor)
+        return h
 
 
 class PAConv(nn.Module):
-    """Position-adaptive conv over grouped neighborhoods.
+    """Position-adaptive conv over grouped neighborhoods, channels-last.
 
-    Input (B, npoint, K, C_in + 3) where the last 3 channels are the
-    relative xyz (as produced by QueryAndGroup with use_xyz); output
-    (B, npoint, K, C_out). Matches reference PAConv's weight-bank mixing;
-    kernel input = [rel_xyz] by default.
+    Call with features (B, npoint, K, in_c) and grouped coordinates
+    points_xyz (B, npoint, K, 3); K slot 0 must be the grouping center
+    (the reference takes ``[..., :1]`` as the center, paconv.py:231,265).
+    Returns (B, npoint, K, out_c).
     """
 
+    in_channels: int
     out_channels: int
-    num_matrices: int = 8
+    num_kernels: int = 8
+    scorenet_input: str = "w_neighbor_dist"  # identity|w_neighbor|w_neighbor_dist
+    kernel_input: str = "w_neighbor"  # identity|w_neighbor
+    scorenet_mlp: Sequence[int] = (8, 16, 16)
+    score_norm: str = "softmax"
+    temp_factor: float = 1.0
+    last_bn: bool = False
+    with_norm: bool = True
+    with_act: bool = True
 
     @nn.compact
-    def __call__(self, grouped, train: bool = False):
-        rel_xyz = grouped[..., :3]
-        feats = grouped
-        scores = ScoreNet(self.num_matrices, name="scorenet")(rel_xyz, train=train)
+    def __call__(self, features, points_xyz, train: bool = False):
+        kernel_mul = 2 if self.kernel_input == "w_neighbor" else 1
+        center_xyz = points_xyz[..., :1, :]
+        xyz_diff = points_xyz - center_xyz
+        if self.scorenet_input == "identity":
+            xyz_features = xyz_diff
+        elif self.scorenet_input == "w_neighbor":
+            xyz_features = jnp.concatenate([xyz_diff, points_xyz], axis=-1)
+        else:  # w_neighbor_dist: (center, diff, euclidian dist)
+            dist = jnp.linalg.norm(xyz_diff, axis=-1, keepdims=True)
+            xyz_features = jnp.concatenate(
+                [jnp.broadcast_to(center_xyz, points_xyz.shape), xyz_diff,
+                 dist], axis=-1)
+
+        if self.kernel_input == "w_neighbor":
+            center_features = features[..., :1, :]
+            features = jnp.concatenate(
+                [features - center_features, features], axis=-1)
+
+        scores = ScoreNet(
+            mlp_channels=(xyz_features.shape[-1], *self.scorenet_mlp,
+                          self.num_kernels),
+            last_bn=self.last_bn, score_norm=self.score_norm,
+            temp_factor=self.temp_factor, name="scorenet",
+        )(xyz_features, train=train)
+
+        # reference layout: (kernel_mul * in_c, M * out_c) (paconv.py:195-199)
         bank = self.param(
             "weight_bank",
             nn.initializers.lecun_normal(),
-            (self.num_matrices, feats.shape[-1], self.out_channels),
+            (kernel_mul * self.in_channels,
+             self.num_kernels * self.out_channels),
         )
-        projected = jnp.einsum(
-            "bnkc,mcd->bnkmd", feats, bank,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.einsum("bnkm,bnkmd->bnkd", scores, projected)
+        B, npoint, K, _ = features.shape
+        new_features = (features @ bank).reshape(
+            B, npoint, K, self.num_kernels, self.out_channels)
+        out = jnp.einsum("bnkm,bnkmc->bnkc", scores, new_features)
+
+        if self.with_norm:
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name="bn")(out)
+        if self.with_act:
+            out = nn.relu(out)
+        return out

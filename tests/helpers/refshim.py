@@ -189,6 +189,38 @@ def _build_conv_layer(cfg, *args, **kwargs):
     return conv_cls(*args, **kwargs)
 
 
+def _build_norm_layer(cfg, num_features):
+    """mmcv.cnn.build_norm_layer stand-in -> (name, module)."""
+    ntype = cfg["type"]
+    if ntype == "GN":
+        return "gn", torch.nn.GroupNorm(cfg["num_groups"], num_features)
+    bn_cls = {"BN1d": torch.nn.BatchNorm1d, "BN2d": torch.nn.BatchNorm2d,
+              "BN": torch.nn.BatchNorm2d}[ntype]
+    kwargs = {k: v for k, v in cfg.items() if k in ("momentum", "eps")}
+    return "bn", bn_cls(num_features, **kwargs)
+
+
+def _build_activation_layer(cfg):
+    assert cfg["type"] == "ReLU"
+    return torch.nn.ReLU(inplace=cfg.get("inplace", False))
+
+
+def _constant_init(module, val, bias=0):
+    if getattr(module, "weight", None) is not None:
+        torch.nn.init.constant_(module.weight, val)
+    if getattr(module, "bias", None) is not None:
+        torch.nn.init.constant_(module.bias, bias)
+
+
+def _xavier_init(module, gain=1, bias=0, distribution="normal"):
+    if distribution == "normal":
+        torch.nn.init.xavier_normal_(module.weight, gain=gain)
+    else:
+        torch.nn.init.xavier_uniform_(module.weight, gain=gain)
+    if getattr(module, "bias", None) is not None:
+        torch.nn.init.constant_(module.bias, bias)
+
+
 def _three_nn_torch(target, source):
     """mmcv.ops.three_nn stand-in: 3 nearest ``source`` points per
     ``target`` point, ascending (CUDA kernel semantics; only ``idx`` is
@@ -271,7 +303,11 @@ def install_shims():
          force_fp32=_identity_deco, BaseModule=_BaseModule)
     _mod("mmcv.parallel", DataContainer=object)
     _mod("mmcv.cnn", ConvModule=_ConvModule,
-         normal_init=lambda *a, **k: None)
+         normal_init=lambda *a, **k: None,
+         build_norm_layer=_build_norm_layer,
+         build_activation_layer=_build_activation_layer,
+         constant_init=_constant_init,
+         xavier_init=_xavier_init)
     _mod("mmcv.cnn.bricks", build_conv_layer=_build_conv_layer)
     _mod("mmcv.ops", three_nn=_three_nn_torch)
     mmcv.utils = sys.modules["mmcv.utils"]

@@ -124,12 +124,14 @@ def test_sparse_maxpool(rng):
 def test_paconv_shapes(rng):
     from nesie_tpu.ops.paconv import PAConv
 
-    x = jnp.asarray(rng.normal(size=(2, 8, 4, 7)).astype(np.float32))
-    m = PAConv(out_channels=16, num_matrices=4)
-    variables = m.init(jax.random.PRNGKey(0), x)
-    out = m.apply(variables, x)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 4, 7)).astype(np.float32))
+    xyz = jnp.asarray(rng.normal(size=(2, 8, 4, 3)).astype(np.float32))
+    m = PAConv(in_channels=7, out_channels=16, num_kernels=4)
+    variables = m.init(jax.random.PRNGKey(0), feats, xyz)
+    out = m.apply(variables, feats, xyz)
     assert out.shape == (2, 8, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out) >= 0).all()  # trailing ReLU, as in the reference
 
 
 def test_multiclass_nms(rng):

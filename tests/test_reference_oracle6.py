@@ -16,6 +16,7 @@ import types
 
 import numpy as np
 import pytest
+import torch
 
 sys.path.insert(0, "/root/repo/tests/helpers")
 import refshim  # noqa: E402
@@ -180,6 +181,89 @@ def test_dbsampler_sample_all_matches_reference(ref_dbsampler, tmp_path,
             got["points"], want["points"].arr, rtol=1e-6, atol=1e-6,
             err_msg=f"r{round_i}")
         np.testing.assert_array_equal(got["group_ids"], want["group_ids"])
+
+
+@pytest.fixture(scope="module")
+def ref_paconv():
+    refshim.install_shims()
+    utils = load_ref("mmdet3d/ops/paconv/utils.py", "refpaconv.utils")
+    assign_stub = types.ModuleType("refpaconv.assign_score")
+    assign_stub.assign_score_withk = None  # only PAConvCUDA touches it
+    sys.modules["refpaconv.assign_score"] = assign_stub
+    return load_ref("mmdet3d/ops/paconv/paconv.py", "refpaconv.paconv",
+                    package_modules={"utils": utils,
+                                     "assign_score": assign_stub})
+
+
+@pytest.mark.parametrize("scorenet_input,kernel_input",
+                         [("w_neighbor_dist", "w_neighbor"),
+                          ("identity", "identity"),
+                          ("w_neighbor", "w_neighbor")])
+def test_paconv_forward_matches_reference(ref_paconv, scorenet_input,
+                                          kernel_input):
+    """Full PAConv forward (paconv.py:106-298) — ScoreNet MLPs, kernel
+    input assembly, weight-bank mixing, BN+ReLU — reference torch module
+    in eval mode vs the flax port with copied weights."""
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    B, npoint, K, in_c, out_c, M = 2, 6, 5, 8, 12, 4
+
+    ref = ref_paconv.PAConv(in_c, out_c, M, scorenet_input=scorenet_input,
+                            kernel_input=kernel_input)
+    ref.eval()
+    # non-trivial BN stats so the normalization itself is exercised
+    with torch.no_grad():
+        ref.bn.running_mean.uniform_(-0.5, 0.5)
+        ref.bn.running_var.uniform_(0.5, 2.0)
+
+    feats = rng.normal(size=(B, in_c, npoint, K)).astype(np.float32)
+    # K slot 0 is the grouping center (paconv.py:231,265)
+    xyz = rng.normal(size=(B, 3, npoint, K)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref((torch.from_numpy(feats), torch.from_numpy(xyz)))
+    want = want.numpy()  # (B, out_c, npoint, K)
+
+    from nesie_tpu.ops.paconv import PAConv
+    port = PAConv(in_channels=in_c, out_channels=out_c, num_kernels=M,
+                  scorenet_input=scorenet_input, kernel_input=kernel_input)
+    feats_l = jnp.asarray(np.moveaxis(feats, 1, -1))  # (B, npoint, K, in_c)
+    xyz_l = jnp.asarray(np.moveaxis(xyz, 1, -1))
+    variables = port.init(jax.random.PRNGKey(0), feats_l, xyz_l)
+
+    import flax
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    for name in list(params["scorenet"]):
+        i = int(name.split("_")[0][len("layer"):])
+        if name.endswith("_conv"):
+            w = sd[f"scorenet.mlps.layer{i}.conv.weight"][:, :, 0, 0]
+            params["scorenet"][name]["kernel"] = w.T
+            if "bias" in params["scorenet"][name]:
+                params["scorenet"][name]["bias"] = (
+                    sd[f"scorenet.mlps.layer{i}.conv.bias"])
+        else:
+            params["scorenet"][name]["scale"] = (
+                sd[f"scorenet.mlps.layer{i}.bn.weight"])
+            params["scorenet"][name]["bias"] = (
+                sd[f"scorenet.mlps.layer{i}.bn.bias"])
+            stats["scorenet"][name]["mean"] = (
+                sd[f"scorenet.mlps.layer{i}.bn.running_mean"])
+            stats["scorenet"][name]["var"] = (
+                sd[f"scorenet.mlps.layer{i}.bn.running_var"])
+    params["weight_bank"] = sd["weight_bank"]
+    params["bn"]["scale"] = sd["bn.weight"]
+    params["bn"]["bias"] = sd["bn.bias"]
+    stats["bn"]["mean"] = sd["bn.running_mean"]
+    stats["bn"]["var"] = sd["bn.running_var"]
+
+    got = port.apply({"params": params, "batch_stats": stats},
+                     feats_l, xyz_l)  # (B, npoint, K, out_c)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def _write_scene(tmp_path, rng):
