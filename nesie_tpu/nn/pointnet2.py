@@ -103,6 +103,71 @@ class PointSAModule(nn.Module):
         return new_xyz, out, indices
 
 
+class PAConvSAModule(nn.Module):
+    """SSG set abstraction with PAConv layers as the shared MLP (reference
+    paconv_sa_module.py:10-140 PAConvSAModule): D-FPS sample, ball-query
+    group, then a chain of PAConv layers each consuming (features,
+    grouped_xyz) — grouped xyz are *relative* and, per the reference
+    default, NOT radius-normalized (normalize_xyz=False) — followed by a
+    neighborhood pool. When ``use_xyz`` the relative xyz are prepended to
+    the grouped features (mlp_channel[0] += 3, paconv_sa_module.py:86-88).
+    """
+
+    num_point: int
+    radius: float
+    num_sample: int
+    mlp_channels: Sequence[int]  # feature widths, excluding the +3 for xyz
+    paconv_num_kernels: Sequence[int]
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    pool: str = "max"
+    kernel_input: str = "w_neighbor"
+    scorenet_input: str = "w_neighbor_dist"
+    scorenet_mlp: Sequence[int] = (16, 16, 16)  # paconv_sa_module.py:60
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False, indices=None,
+                 target_xyz=None):
+        from nesie_tpu.ops.paconv import PAConv
+
+        if target_xyz is not None:
+            new_xyz = target_xyz
+        else:
+            if indices is None:
+                indices = furthest_point_sample(xyz, self.num_point)
+            new_xyz = gather_points(xyz, indices)
+
+        idx = ball_query(xyz, new_xyz, self.radius, self.num_sample)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+
+        if features is not None:
+            grouped = group_points(features, idx)
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+        else:
+            grouped = grouped_xyz
+
+        chain = [grouped.shape[-1], *self.mlp_channels[1:]]
+        h = grouped
+        for i in range(len(chain) - 1):
+            h = PAConv(
+                in_channels=chain[i],
+                out_channels=chain[i + 1],
+                num_kernels=self.paconv_num_kernels[i],
+                kernel_input=self.kernel_input,
+                scorenet_input=self.scorenet_input,
+                scorenet_mlp=self.scorenet_mlp,
+                name=f"layer{i}",
+            )(h, grouped_xyz, train=train)
+        if self.pool == "max":
+            out = jnp.max(h, axis=2)
+        else:
+            out = jnp.mean(h, axis=2)
+        return new_xyz, out, indices
+
+
 class PointSAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction (reference PointSAModuleMSG,
     point_sa_module.py:215): one FPS sample set, several ball-query scales,

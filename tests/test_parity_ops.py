@@ -134,6 +134,36 @@ def test_paconv_shapes(rng):
     assert (np.asarray(out) >= 0).all()  # trailing ReLU, as in the reference
 
 
+def test_paconv_sa_module(rng):
+    """PAConvSAModule (reference paconv_sa_module.py): sample + group +
+    chained PAConvs + pool, gradient-connected end to end."""
+    import jax
+
+    from nesie_tpu.nn.pointnet2 import PAConvSAModule
+
+    xyz = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 64, 6)).astype(np.float32))
+    m = PAConvSAModule(num_point=16, radius=0.8, num_sample=8,
+                       mlp_channels=(6, 16, 24), paconv_num_kernels=(4, 4))
+    variables = m.init(jax.random.PRNGKey(0), xyz, feats)
+    new_xyz, out, idx = m.apply(variables, xyz, feats)
+    assert new_xyz.shape == (2, 16, 3)
+    assert out.shape == (2, 16, 24)
+    assert idx.shape == (2, 16)
+
+    def loss(p):
+        _, o, _ = m.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            xyz, feats, train=True, mutable=["batch_stats"])[0]
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda x: float(jnp.abs(x).sum()), g))
+    assert total > 0 and np.isfinite(total)
+
+
 def test_multiclass_nms(rng):
     from nesie_tpu.core.multiclass_nms import box3d_multiclass_nms
 
