@@ -76,3 +76,60 @@ def init_detector(config_name: str, checkpoint_dir=None) -> Detector:
 
 def inference_detector(detector: Detector, points):
     return detector(points)
+
+
+def inference_segmentor(model, variables, points, num_points=None,
+                        seed: int = 0):
+    """Per-point semantic labels (reference apis/inference.py:253
+    ``inference_segmentor``): load/subsample one cloud, forward the
+    segmentor, return dict(semantic_mask, seg_logits).
+
+    Args:
+        model: ``nn.segmentor.PointNet2Segmentor`` (or compatible);
+        variables: its flax variables; points: (N, >=3) array or
+        .bin/.npy path.
+    """
+    if isinstance(points, (str, Path)):
+        p = Path(points)
+        points = np.load(p) if p.suffix == ".npy" else io.load_points_bin(p)
+    pts = io.add_height(np.asarray(points, np.float32)[:, :3])
+    if num_points is not None:
+        rng = np.random.default_rng(seed)
+        pts = io.sample_points(pts, num_points, rng)
+    out = model.apply(variables, jnp.asarray(pts)[None], train=False)
+    logits = out["seg_logits"] if isinstance(out, dict) else out
+    logits = np.asarray(logits)[0]
+    return dict(semantic_mask=np.argmax(logits, axis=-1),
+                seg_logits=logits, points=pts)
+
+
+def show_result_meshlab(out_dir, name, points=None, gt_boxes=None,
+                        pred_boxes=None, img=None, proj=None,
+                        seg_labels=None, palette=None):
+    """Dump meshlab-style artifacts (reference apis/inference.py:292-505
+    ``show_det_result_meshlab``/``show_seg_result_meshlab``/
+    ``show_proj_det_result_meshlab``): ``<name>_points.obj`` /
+    ``_gt.obj`` / ``_pred.obj``, a colorized segmentation cloud, and a
+    box-projection image when calibration is given. Returns the output
+    directory."""
+    from nesie_tpu.eval.visualize import (draw_bbox3d_on_img, show_result,
+                                          write_points_obj)
+
+    out = show_result(out_dir, name, points=points, gt_boxes=gt_boxes,
+                      pred_boxes=pred_boxes)
+    if seg_labels is not None and points is not None:
+        if palette is None:
+            rng = np.random.default_rng(42)  # stable class colors
+            palette = rng.integers(0, 256,
+                                   size=(int(seg_labels.max()) + 1, 3))
+        write_points_obj(out / f"{name}_seg.obj",
+                         np.asarray(points)[:, :3],
+                         colors=np.asarray(palette)[np.asarray(seg_labels)])
+    if img is not None and proj is not None and pred_boxes is not None \
+            and len(pred_boxes):
+        import imageio.v3 as iio
+
+        drawn = draw_bbox3d_on_img(np.asarray(pred_boxes), np.asarray(img),
+                                   np.asarray(proj))
+        iio.imwrite(out / f"{name}_pred_img.png", drawn.astype(np.uint8))
+    return out
