@@ -13,10 +13,15 @@ reference measurement exists; until then it is null.
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+
+EVAL_METRIC = "scenes/sec/chip eval forward (ScanNet 40k pts)"
+SEMI_METRIC = "scenes/sec/chip semi train step (4+8 scenes, 40k pts)"
 
 
 def bench_semi_step():
@@ -73,6 +78,11 @@ def bench_semi_step():
     return B / dt, dt
 
 
+def _emit(metric, value, unit="scenes/sec", **extra):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": None, **extra}), flush=True)
+
+
 def main():
     import nesie_tpu.ops.pointops as pointops
     from nesie_tpu.nn.detector import VoteNetNesie
@@ -123,32 +133,26 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "scenes/sec/chip eval forward (ScanNet 40k pts)",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": None,
-            }
-        ),
-        flush=True,
-    )
+    _emit(EVAL_METRIC, round(scenes_per_sec, 3))
 
-    semi_sps, semi_dt = bench_semi_step()
-    print(
-        json.dumps(
-            {
-                "metric": "scenes/sec/chip semi train step (4+8 scenes, 40k pts)",
-                "value": round(semi_sps, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": None,
-                "step_ms": round(semi_dt * 1000, 1),
-            }
-        ),
-        flush=True,
-    )
+    # The semi half must not zero the scored eval line above: catch and
+    # report its failure as a diagnosable JSON record instead of dying
+    # (round-3 lesson: one backend hiccup lost the whole round's number).
+    try:
+        semi_sps, semi_dt = bench_semi_step()
+        _emit(SEMI_METRIC, round(semi_sps, 3), step_ms=round(semi_dt * 1000, 1))
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+        _emit(SEMI_METRIC, None, error=f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # Backend-init / compile failure before the scored line: leave a
+        # machine-readable record on stdout so the driver logs something
+        # diagnosable rather than a bare rc=1.
+        traceback.print_exc(file=sys.stderr)
+        _emit(EVAL_METRIC, None, error=f"{type(e).__name__}: {e}")
+        sys.exit(1)
