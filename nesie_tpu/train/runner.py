@@ -168,7 +168,8 @@ def _log_metrics(step, epoch, metrics, t_step):
 
 
 def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
-                     load_state=None, resume: bool = False):
+                     load_state=None, resume: bool = False,
+                     epoch_callback=None):
     """Supervised pretrain loop (reference VoteNet phase, votenet.py:27).
 
     Runs data-parallel over a 1-D device mesh: state replicated, batches
@@ -246,12 +247,15 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
             ckpt.save(int(state.step), state,
                       meta={"mesh_size": mesh.size})
+        if epoch_callback is not None:
+            epoch_callback(epoch, state)
     mlog.close()
     return state
 
 
 def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
-               load_state=None, resume: bool = False):
+               load_state=None, resume: bool = False,
+               epoch_callback=None):
     """Semi-supervised loop (reference SimiEpochBasedRunner +
     VoteNetNesie.forward_train), data-parallel over a 1-D device mesh.
 
@@ -337,5 +341,7 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
             ckpt.save(int(state.step), state, ulb_state,
                       meta={"mesh_size": mesh.size})
+        if epoch_callback is not None:
+            epoch_callback(epoch, state)
     mlog.close()
     return state

@@ -35,6 +35,27 @@ def make_lr_schedule(
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def make_cosine_lr_after_step(
+    base_lr: float,
+    steps_per_epoch: int,
+    step_epoch: int,
+    total_epochs: int,
+    clip: float = 1e-6,
+):
+    """Constant-then-cosine decay (reference ``cosine_lr_after_step``,
+    mmdet3d/models/utils/utils.py:26-34, used by the sparse-conv
+    segmentation trainers): lr stays at ``base_lr`` until ``step_epoch``,
+    then follows a half cosine down to ``clip`` at ``total_epochs``."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        frac = (epoch - step_epoch) / max(total_epochs - step_epoch, 1)
+        cos_lr = clip + 0.5 * (base_lr - clip) * (1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(epoch < step_epoch, base_lr, cos_lr)
+
+    return schedule
+
+
 def make_optimizer(
     lr_schedule,
     weight_decay: float = 0.01,

@@ -42,6 +42,9 @@ MID_MODEL = dict(
 )
 
 
+_FWD_CACHE = {}
+
+
 def eval_mAP(cfg, model, state, ds, num_points, batch=8, use_teacher=False,
              seed=9):
     import jax
@@ -52,7 +55,14 @@ def eval_mAP(cfg, model, state, ds, num_points, batch=8, use_teacher=False,
     from nesie_tpu.eval.postprocess import expand_per_class
     from nesie_tpu.train.step import make_eval_forward
 
-    fwd = make_eval_forward(model, cfg.test.sample_mod, use_teacher=use_teacher)
+    # cache the jitted forward across calls (per-epoch curves would
+    # otherwise recompile an identical program every evaluation)
+    fwd_key = (id(model), cfg.test.sample_mod, use_teacher)
+    fwd = _FWD_CACHE.get(fwd_key)
+    if fwd is None:
+        fwd = make_eval_forward(model, cfg.test.sample_mod,
+                                use_teacher=use_teacher)
+        _FWD_CACHE[fwd_key] = fwd
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     gt_annos, dt_annos = [], []
