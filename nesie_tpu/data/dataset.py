@@ -125,6 +125,36 @@ class ScanNetScenes:
         )
 
 
+class PresampledScanNetScenes(ScanNetScenes):
+    """Eval scenes from a `tools/dump_eval_set.py` dump: clouds are already
+    subsampled with the reference's exact seeded ``IndoorPointSample``
+    permutation (transforms_3d.py:819-861), so evaluation here and a
+    reference evaluation on the same dump see bit-identical inputs —
+    no sampling noise in side-by-side mAP comparisons."""
+
+    def __init__(self, presampled_dir):
+        import pickle
+
+        self.dir = Path(presampled_dir)
+        with open(self.dir / "presampled_infos.pkl", "rb") as f:
+            meta = pickle.load(f)
+        self.num_points = meta["num_points"]
+        self.scenes = []
+        for entry in meta["scenes"]:
+            pts = np.load(self.dir / entry["pts_file"])
+            _, boxes, labels, aam = io.scene_from_info(entry["info"], self.dir)
+            self.scenes.append(
+                Scene(entry["scene_id"], None, boxes, labels, aam, points=pts)
+            )
+
+    def load_points(self, scene: Scene, rng, num_points: int = NUM_POINTS):
+        assert num_points == scene.points.shape[0], (
+            f"pre-sampled dump holds {scene.points.shape[0]} points/scene, "
+            f"eval asked for {num_points}"
+        )
+        return scene.points  # fixed cloud: alignment+height already applied
+
+
 def read_split_file(path):
     return [l.strip() for l in open(path) if l.strip()]
 

@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--dump-raw", default=None,
                    help="directory to dump raw head outputs per scene "
                         "(the reference test_cfg.add_info equivalent)")
+    p.add_argument("--presampled", default=None,
+                   help="evaluate a tools/dump_eval_set.py dump (reference-"
+                        "identical IndoorPointSample clouds) instead of "
+                        "sampling from --data-root")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -63,7 +67,15 @@ def main():
         from nesie_tpu.data.scannet_meta import CLASS_NAMES
 
     root = Path(args.data_root)
-    ds = ScanNetScenes(root, root / cfg.data.val_ann_file)
+    if args.presampled:
+        from nesie_tpu.data.dataset import PresampledScanNetScenes
+
+        ds = PresampledScanNetScenes(args.presampled)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          num_points=ds.num_points))
+    else:
+        ds = ScanNetScenes(root, root / cfg.data.val_ann_file)
     model = runner.build_model(cfg)
     state, _ = runner.init_state(cfg, model, steps_per_epoch=1)
     mgr = CheckpointManager(Path(args.checkpoint).parent)
