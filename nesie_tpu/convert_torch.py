@@ -261,19 +261,25 @@ def convert_state_dict(sd, num_sa: int = 4, num_fp: int = 2,
 
 
 def extract_ema(sd):
-    """Pull the teacher out of ``ema_<mangled>`` buffers: returns a torch
-    state_dict with the original (dot) names, resolved against the student
-    keys (the mangling replaced '.' with '_', simi_teacher_hook.py:49)."""
+    """Materialize the teacher from ``ema_<mangled>`` buffers: returns a
+    FULL state_dict where every parameter that has an EMA buffer is
+    replaced by it and everything else (BN running stats — never EMA'd,
+    the hook swaps parameters only, simi_teacher_hook.py:46-52/86-92) is
+    shared with the student. Returns None when the checkpoint carries no
+    EMA buffers (pretrain .pth)."""
     student_keys = [k for k in sd if not k.startswith("ema_")]
     mangled = {k.replace(".", "_"): k for k in student_keys}
-    out = {}
+    overlay = {}
     for k, v in sd.items():
         if not k.startswith("ema_"):
             continue
         orig = mangled.get(k[4:])
         if orig is not None:
-            out[orig] = v
-    return out
+            overlay[orig] = v
+    if not overlay:
+        return None
+    return {k: overlay.get(k, v) for k, v in sd.items()
+            if not k.startswith("ema_")}
 
 
 def load_torch_checkpoint(path):
