@@ -130,10 +130,13 @@ def apply_overrides(cfg: ExperimentConfig, overrides) -> ExperimentConfig:
 
     for item in overrides or []:
         key, _, raw = item.partition("=")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw
+        if raw.lower() in ("true", "false"):  # accept non-Python casing —
+            value = raw.lower() == "true"     # 'false' must never be truthy
+        else:
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw
         cfg = _override(cfg, key, value)
     return cfg
 

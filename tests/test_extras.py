@@ -306,3 +306,19 @@ def test_slide_inference_covers_and_averages(rng):
 
     slide_inference(scene, apply_fn2, num_points=64, block_size=2.0)
     assert max(seen) <= 1.0 + 1e-3
+
+
+def test_cfg_override_lowercase_bools():
+    """'false' from a shell must never become a truthy string
+    (apply_overrides maps true/false case-insensitively to bools)."""
+    from nesie_tpu.config import apply_overrides, get_config
+
+    cfg = get_config("nesie-votenet-scannet-train-010")
+    cfg = apply_overrides(cfg, [
+        "pseudo.literal_reference_cbl=false",
+        "teacher_jitter=true",
+        "test.iou_opt=False",
+    ])
+    assert cfg.pseudo.literal_reference_cbl is False
+    assert cfg.teacher_jitter is True
+    assert cfg.test.iou_opt is False
