@@ -125,6 +125,13 @@ def main():
                                 ratio=scfg.data.unlabeled_ratio)
     fresh, _ = runner.init_state(scfg, model, steps_per_epoch=1)
     load_state = runner.weights_only_load(fresh, pre_state)
+    # host snapshots for the end-state probes: the jitted semi step DONATES
+    # its state, which deletes the device buffers weights_only_load shares
+    # with pre_state
+    import numpy as np
+
+    pre_params = jax.tree.map(np.array, pre_state.params)
+    pre_stats = jax.tree.map(np.array, pre_state.batch_stats)
 
     # sanity: teacher at step 0 == pretrain eval, numerically
     t0_map = eval_mAP(scfg, model, load_state, val_ds, args.num_points,
@@ -159,11 +166,10 @@ def main():
     probe("student_final", semi_state.params, semi_state.batch_stats)
     probe("teacher+student_stats", semi_state.ema_params,
           semi_state.batch_stats)
-    probe("teacher+pretrain_stats", semi_state.ema_params,
-          pre_state.batch_stats)
-    probe("pretrain+student_stats", pre_state.params, semi_state.batch_stats)
+    probe("teacher+pretrain_stats", semi_state.ema_params, pre_stats)
+    probe("pretrain+student_stats", pre_params, semi_state.batch_stats)
     mid = jax.tree.map(lambda a, b: 0.5 * a + 0.5 * b,
-                       pre_state.params, semi_state.params)
+                       pre_params, semi_state.params)
     probe("midpoint+student_stats", mid, semi_state.batch_stats)
 
     Path(args.json_out).write_text(json.dumps(report, indent=2))

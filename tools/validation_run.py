@@ -130,6 +130,17 @@ def run_seed(args, root, seed, variants):
     common_over = [f"data.num_points={args.num_points}", "log_interval=20"]
     out = Path(args.out)
 
+    # per-seed RANDOM labeled split (the reference protocol's "3 random
+    # splits", BASELINE.md) — seed 0 keeps the canonical prefix split so
+    # single-seed runs stay comparable with earlier rounds
+    if seed != 0:
+        names = (root / "meta_data" / "scannetv2_train_all.txt").read_text().split()
+        k = len((root / "meta_data" / "scannetv2_train_0.1.txt").read_text().split())
+        picked = np.random.default_rng(1000 + seed).permutation(names)[:k]
+        split_file = f"meta_data/scannetv2_train_0.1_s{seed}.txt"
+        (root / split_file).write_text("\n".join(sorted(picked)) + "\n")
+        common_over = common_over + [f"data.label_list_file={split_file}"]
+
     pcfg = get_config(f"{prefix}-votenet-scannet-pretrain-010")
     pcfg = apply_overrides(pcfg, model_over + common_over + [
         f"optim.max_epochs={args.pretrain_epochs}",
@@ -177,8 +188,8 @@ def run_seed(args, root, seed, variants):
                                     root / scfg.data.label_list_file,
                                     ratio=scfg.data.unlabeled_ratio)
         steps = max(
-            semi_ds.num_labeled * scfg.data.repeat
-            // scfg.data.samples_per_step, 1) * args.semi_epochs
+            max(semi_ds.num_labeled * scfg.data.repeat
+                // scfg.data.samples_per_step, 1) * args.semi_epochs, 1)
         if args.ema_scale_ref:
             m = min(0.05, REF_EMA_PRODUCT / steps)
             scfg = dataclasses.replace(scfg, ema_momentum=m)
