@@ -99,6 +99,13 @@ class ExperimentConfig:
     teacher_jitter: bool = False
     ema_momentum: float = 1e-3
     ema_warm_up: float = 10.0
+    # EMA the teacher's BN running stats alongside its parameters instead of
+    # sharing the student's live stats (the reference shares, hook swaps
+    # parameters only). On short horizons (m * steps << 1) sharing pairs
+    # lagged parameters with stats calibrated for the current student and
+    # collapses teacher eval ~3x — see train/state.ema_update and
+    # tools/diagnose_teacher.py. Default keeps literal reference behavior.
+    ema_bn_stats: bool = False
     un_label_weight: float = 2.0
     pos_distance_thr: float = 0.3
     neg_distance_thr: float = 0.6

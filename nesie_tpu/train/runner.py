@@ -199,6 +199,7 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
         cfg.pos_distance_thr,
         cfg.neg_distance_thr,
         head=cfg.model.head,
+        ema_bn_stats=cfg.ema_bn_stats,
     )
     work = Path(cfg.work_dir) / cfg.name
     ckpt = CheckpointManager(work)
@@ -290,6 +291,7 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
         neg_distance_thr=cfg.neg_distance_thr,
         head=cfg.model.head,
         teacher_jitter=cfg.teacher_jitter,
+        ema_bn_stats=cfg.ema_bn_stats,
     )
     ulb_state = UlbState.create(dataset.num_unlabeled, cfg.model.num_classes)
     work = Path(cfg.work_dir) / cfg.name

@@ -140,6 +140,7 @@ def make_semi_train_step(
     neg_distance_thr: float = 0.6,
     head: str = "nesie",
     teacher_jitter: bool = False,
+    ema_bn_stats: bool = False,
 ):
     """Build the jitted semi-supervised step.
 
@@ -285,7 +286,8 @@ def make_semi_train_step(
             batch_stats=new_bs,
             opt_state=opt_state,
         )
-        new_state = ema_update(new_state, ema_momentum, ema_warm_up)
+        new_state = ema_update(new_state, ema_momentum, ema_warm_up,
+                               ema_bn_stats)
 
         metrics = dict(terms)
         metrics["loss"] = total

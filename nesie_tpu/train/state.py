@@ -90,14 +90,27 @@ def create_train_state(variables, tx) -> TrainState:
 
 
 def ema_update(state: TrainState, base_momentum: float = 1e-3,
-               warm_up: float = 10.0) -> TrainState:
+               warm_up: float = 10.0,
+               ema_bn_stats: bool = False) -> TrainState:
     """EMA teacher update with the reference's warm-up rule
     (simi_teacher_hook.py:54-64): m_t = min(m, (1 + t) / (warm_up + t)),
     teacher <- (1 - m_t) * teacher + m_t * student.
 
-    Only *parameters* are EMA'd; BN running stats are shared with the
-    student (the reference's param swap never touches non-ema buffers), so
-    ``ema_batch_stats`` simply mirrors the student's.
+    By default only *parameters* are EMA'd and BN running stats are shared
+    with the student (the reference's param swap never touches non-ema
+    buffers), so ``ema_batch_stats`` mirrors the student's.
+
+    ``ema_bn_stats=True`` EMAs the running stats with the same momentum so
+    the teacher's normalization lags in lockstep with its parameters.
+    tools/diagnose_teacher.py shows why this matters on short horizons:
+    when m*N << 1 the teacher's parameters stay far behind the student,
+    and the student's current stats only calibrate its own current
+    parameters — the lagged-params/current-stats pairing collapses eval
+    mAP ~3x (pretrain params + student stats collapse identically, while
+    teacher params + matched stats score ABOVE the pretrain baseline).
+    The reference never hits this because its real runs have m*N ~ 5,
+    where the teacher tracks the recent student and the shared stats are
+    approximately matched.
     """
     t = state.step.astype(jnp.float32)
     m = jnp.minimum(base_momentum, (1.0 + t) / (warm_up + t))
@@ -107,5 +120,7 @@ def ema_update(state: TrainState, base_momentum: float = 1e-3,
 
     return state._replace(
         ema_params=jax.tree.map(upd, state.ema_params, state.params),
-        ema_batch_stats=state.batch_stats,
+        ema_batch_stats=(
+            jax.tree.map(upd, state.ema_batch_stats, state.batch_stats)
+            if ema_bn_stats else state.batch_stats),
     )

@@ -22,6 +22,7 @@ def make_supervised_train_step(
     pos_distance_thr: float = 0.3,
     neg_distance_thr: float = 0.6,
     head: str = "nesie",
+    ema_bn_stats: bool = False,
 ):
     """Build the jitted supervised step.
 
@@ -89,7 +90,8 @@ def make_supervised_train_step(
             batch_stats=new_bs,
             opt_state=opt_state,
         )
-        new_state = ema_update(new_state, ema_momentum, ema_warm_up)
+        new_state = ema_update(new_state, ema_momentum, ema_warm_up,
+                               ema_bn_stats)
         metrics = dict(terms)
         metrics["loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -102,3 +102,40 @@ def test_semi_step_runs_and_updates():
     flag = np.asarray(new_ulb.ulb_flag)
     assert flag[3] == 0 and flag[5] == 0 and flag[1] == 1
     assert int(new_state.step) == 1
+
+
+def test_ema_update_warmup_and_bn_stats_modes():
+    """ema_update: the reference warm-up rule m=min(m0,(1+t)/(w+t)) on
+    parameters, shared vs EMA'd batch_stats (ema_bn_stats)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nesie_tpu.train.state import TrainState, ema_update
+
+    params = {"w": jnp.ones((3,))}
+    stats = {"bn": {"mean": jnp.full((3,), 2.0)}}
+    state = TrainState(
+        step=jnp.asarray(5, jnp.int32),
+        params={"w": jnp.full((3,), 3.0)},
+        batch_stats=stats,
+        ema_params=params,
+        ema_batch_stats={"bn": {"mean": jnp.zeros((3,))}},
+        opt_state=(),
+    )
+    m = min(1e-3, (1 + 5) / (10 + 5))
+    out = ema_update(state, 1e-3, 10.0)
+    np.testing.assert_allclose(out.ema_params["w"],
+                               (1 - m) * 1.0 + m * 3.0, rtol=1e-6)
+    # default: teacher stats mirror the student's (reference sharing)
+    np.testing.assert_allclose(out.ema_batch_stats["bn"]["mean"], 2.0)
+
+    out2 = ema_update(state, 1e-3, 10.0, ema_bn_stats=True)
+    np.testing.assert_allclose(out2.ema_batch_stats["bn"]["mean"],
+                               (1 - m) * 0.0 + m * 2.0, rtol=1e-6)
+    # warm-up clamp: early steps use (1+t)/(w+t) when smaller... m0 is
+    # already the min here; with a large m0 the ramp applies
+    out3 = ema_update(state._replace(step=jnp.asarray(0, jnp.int32)), 0.9,
+                      10.0)
+    np.testing.assert_allclose(out3.ema_params["w"],
+                               0.9 * 1.0 + 0.1 * 3.0, rtol=1e-6)
