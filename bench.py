@@ -20,6 +20,10 @@ import traceback
 import jax
 import jax.numpy as jnp
 
+from nesie_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 EVAL_METRIC = "scenes/sec/chip eval forward (ScanNet 40k pts)"
 SEMI_METRIC = "scenes/sec/chip semi train step (4+8 scenes, 40k pts)"
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import logging
 import time
+from functools import lru_cache
 from pathlib import Path
 
 import jax
@@ -38,8 +39,20 @@ from nesie_tpu.train.step import make_supervised_train_step
 log = logging.getLogger("nesie_tpu")
 
 
+# All builders below are memoized on the frozen config dataclasses: a
+# repeated (config, steps_per_epoch) signature returns the SAME model /
+# optimizer / jitted-step objects, so multi-seed or multi-variant studies
+# (tools/validation_run.py) reuse jit's in-memory executable cache instead
+# of retracing — on the remote-compile TPU tunnel every structurally
+# identical recompile would otherwise cost 10-40 min.
+
+
 def build_model(cfg: ExperimentConfig) -> VoteNetNesie:
-    m = cfg.model
+    return _build_model(cfg.model)
+
+
+@lru_cache(maxsize=None)
+def _build_model(m) -> VoteNetNesie:
     return VoteNetNesie(
         num_classes=m.num_classes,
         reg_max=m.reg_max,
@@ -67,16 +80,62 @@ def strong_aug_config(cfg: ExperimentConfig) -> AugConfig:
     )
 
 
+@lru_cache(maxsize=None)
+def _make_tx(optim, steps_per_epoch: int):
+    lr = make_lr_schedule(
+        optim.lr, steps_per_epoch, optim.lr_milestones, optim.lr_gamma
+    )
+    return make_optimizer(lr, optim.weight_decay, optim.grad_clip_norm)
+
+
 def init_state(cfg: ExperimentConfig, model, steps_per_epoch: int):
     rng = jax.random.PRNGKey(cfg.seed)
     n_in = cfg.model.in_channels
     dummy = jax.random.uniform(rng, (1, 1024, n_in), jnp.float32)
     variables = model.init({"params": rng}, dummy, "vote", rng, train=False)
-    lr = make_lr_schedule(
-        cfg.optim.lr, steps_per_epoch, cfg.optim.lr_milestones, cfg.optim.lr_gamma
-    )
-    tx = make_optimizer(lr, cfg.optim.weight_decay, cfg.optim.grad_clip_norm)
+    tx = _make_tx(cfg.optim, steps_per_epoch)
     return create_train_state(variables, tx), tx
+
+
+@lru_cache(maxsize=None)
+def _sup_step_fn(model_cfg, optim, steps_per_epoch, loss_cfg, sample_mod,
+                 ema_momentum, ema_warm_up, pos_thr, neg_thr, ema_bn_stats):
+    return make_supervised_train_step(
+        _build_model(model_cfg),
+        _make_tx(optim, steps_per_epoch),
+        loss_cfg,
+        sample_mod,
+        ema_momentum,
+        ema_warm_up,
+        pos_thr,
+        neg_thr,
+        head=model_cfg.head,
+        ema_bn_stats=ema_bn_stats,
+    )
+
+
+@lru_cache(maxsize=None)
+def _semi_step_fn(model_cfg, optim, steps_per_epoch, n_labeled,
+                  num_labeled_scans, loss_cfg, pl_cfg, sample_mod,
+                  ema_momentum, ema_warm_up, un_label_weight, pos_thr,
+                  neg_thr, teacher_jitter, ema_bn_stats):
+    return make_semi_train_step(
+        _build_model(model_cfg),
+        _make_tx(optim, steps_per_epoch),
+        n_labeled=n_labeled,
+        num_labeled_scans=num_labeled_scans,
+        loss_cfg=loss_cfg,
+        pl_cfg=pl_cfg,
+        sample_mod=sample_mod,
+        ema_momentum=ema_momentum,
+        ema_warm_up=ema_warm_up,
+        un_label_weight=un_label_weight,
+        pos_distance_thr=pos_thr,
+        neg_distance_thr=neg_thr,
+        head=model_cfg.head,
+        teacher_jitter=teacher_jitter,
+        ema_bn_stats=ema_bn_stats,
+    )
 
 
 class CheckpointManager:
@@ -189,17 +248,17 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
     state, tx = init_state(cfg, model, steps_per_epoch)
     if load_state is not None:
         state = load_state
-    step_fn = make_supervised_train_step(
-        model,
-        tx,
+    step_fn = _sup_step_fn(
+        cfg.model,
+        cfg.optim,
+        steps_per_epoch,
         cfg.loss,
         cfg.sample_mod_train,
         cfg.ema_momentum,
         cfg.ema_warm_up,
         cfg.pos_distance_thr,
         cfg.neg_distance_thr,
-        head=cfg.model.head,
-        ema_bn_stats=cfg.ema_bn_stats,
+        cfg.ema_bn_stats,
     )
     work = Path(cfg.work_dir) / cfg.name
     ckpt = CheckpointManager(work)
@@ -276,22 +335,22 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
     state, tx = init_state(cfg, model, steps_per_epoch)
     if load_state is not None:
         state = load_state
-    step_fn = make_semi_train_step(
-        model,
-        tx,
-        n_labeled=bs,
-        num_labeled_scans=dataset.num_labeled,
-        loss_cfg=cfg.loss,
-        pl_cfg=cfg.pseudo,
-        sample_mod=cfg.sample_mod_train,
-        ema_momentum=cfg.ema_momentum,
-        ema_warm_up=cfg.ema_warm_up,
-        un_label_weight=cfg.un_label_weight,
-        pos_distance_thr=cfg.pos_distance_thr,
-        neg_distance_thr=cfg.neg_distance_thr,
-        head=cfg.model.head,
-        teacher_jitter=cfg.teacher_jitter,
-        ema_bn_stats=cfg.ema_bn_stats,
+    step_fn = _semi_step_fn(
+        cfg.model,
+        cfg.optim,
+        steps_per_epoch,
+        bs,
+        dataset.num_labeled,
+        cfg.loss,
+        cfg.pseudo,
+        cfg.sample_mod_train,
+        cfg.ema_momentum,
+        cfg.ema_warm_up,
+        cfg.un_label_weight,
+        cfg.pos_distance_thr,
+        cfg.neg_distance_thr,
+        cfg.teacher_jitter,
+        cfg.ema_bn_stats,
     )
     ulb_state = UlbState.create(dataset.num_unlabeled, cfg.model.num_classes)
     work = Path(cfg.work_dir) / cfg.name

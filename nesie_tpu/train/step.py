@@ -100,23 +100,38 @@ def make_supervised_train_step(
     return train_step
 
 
+# one jitted program per (model, sample_mod): the student and teacher
+# forwards are structurally identical (they differ only in which state
+# leaves are fed), so sharing the executable halves eval compiles — on
+# the remote-compile TPU tunnel each program is 10-40 min.
+_EVAL_INNER_CACHE = {}
+
+
 def make_eval_forward(model, sample_mod: str = "seed", use_teacher: bool = False):
     """Jitted eval forward returning the head results dict.
 
     Runs the with_jitter=False fast path: numerically identical main
     outputs at eval (running-stat BN), half the quality-module cost."""
+    key = (id(model), sample_mod)
+    inner = _EVAL_INNER_CACHE.get(key)
+    if inner is None:
 
-    @jax.jit
+        @jax.jit
+        def inner(params, batch_stats, points, rng):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                points,
+                sample_mod,
+                rng,
+                train=False,
+                with_jitter=False,
+            )
+
+        _EVAL_INNER_CACHE[key] = inner
+
     def forward(state: TrainState, points, rng):
-        params = state.ema_params if use_teacher else state.params
-        bs = state.ema_batch_stats if use_teacher else state.batch_stats
-        return model.apply(
-            {"params": params, "batch_stats": bs},
-            points,
-            sample_mod,
-            rng,
-            train=False,
-            with_jitter=False,
-        )
+        if use_teacher:
+            return inner(state.ema_params, state.ema_batch_stats, points, rng)
+        return inner(state.params, state.batch_stats, points, rng)
 
     return forward

@@ -27,6 +27,20 @@ def get_root_logger(log_file=None, level=logging.INFO):
     return logger
 
 
+def enable_compile_cache(path: str = "/tmp/jax_cache"):
+    """Opt in to JAX's persistent compilation cache (safe no-op if the
+    backend can't serialize executables). On the remote-compile TPU
+    tunnel a fresh program shape costs 10-40 min; the on-disk cache makes
+    that a one-time cost shared across tool invocations in a session."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # unknown flag on older jax — keep going
+        logging.getLogger("nesie_tpu").debug("compile cache unavailable: %s", e)
+
+
 def collect_env():
     """Environment fingerprint (reference utils/collect_env.py)."""
     import platform

@@ -49,6 +49,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from nesie_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from nesie_tpu.config import apply_overrides, get_config
     from nesie_tpu.data.dataset import ScanNetScenes

@@ -53,6 +53,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from nesie_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if args.multihost:
         import jax
 

@@ -217,23 +217,33 @@ def _agg(values):
     return float(a.mean()), float(a.std())
 
 
-def write_report(args, per_seed, variants, report_path, elapsed_min):
+def write_report(args, per_seed, variants, report_path, elapsed_min,
+                 append=False):
     import jax
 
     key = "mAP_0.25"
-    lines = [
-        "# PARITY_RESULTS — full-pipeline accuracy validation",
-        "",
-        "Held-out mAP from the complete pretrain -> semi-supervised -> eval",
-        "pipeline run through the production runner and on-disk data path",
-        "(`tools/validation_run.py`). No real ScanNet data or released",
-        "reference checkpoints exist in this environment (zero egress); the",
-        "dataset is procedurally generated multi-class indoor scenes with",
-        "learnable per-class geometry. The parity signal mirrors the",
-        "reference's protocol (BASELINE.md): mean±std over seeds, semi",
-        "student above the labeled-only baseline, EMA teacher at or above",
-        "it (the teacher is the reference workflow's deliverable model).",
-        "",
+    if append:
+        lines = [
+            "",
+            f"## {args.head.upper()} head — same protocol",
+            "",
+        ]
+    else:
+        lines = [
+            "# PARITY_RESULTS — full-pipeline accuracy validation",
+            "",
+            "Held-out mAP from the complete pretrain -> semi-supervised -> eval",
+            "pipeline run through the production runner and on-disk data path",
+            "(`tools/validation_run.py`). No real ScanNet data or released",
+            "reference checkpoints exist in this environment (zero egress); the",
+            "dataset is procedurally generated multi-class indoor scenes with",
+            "learnable per-class geometry. The parity signal mirrors the",
+            "reference's protocol (BASELINE.md): mean±std over seeds, semi",
+            "student above the labeled-only baseline, EMA teacher at or above",
+            "it (the teacher is the reference workflow's deliverable model).",
+            "",
+        ]
+    lines += [
         f"Setup: {args.n_train} train scenes (10% labeled split), "
         f"{args.n_val} held-out val scenes, {args.num_points} points/scene, "
         f"{args.data_classes} object classes, mid-size model, pretrain "
@@ -281,12 +291,19 @@ def write_report(args, per_seed, variants, report_path, elapsed_min):
             ("ACCEPTANCE: PASS — " if ok else "ACCEPTANCE: FAIL — ")
             + ", ".join(f"{name}: {'yes' if g else 'NO'}"
                         for name, g in gates))
-    lines += [
-        "",
-        "Rerun with `python tools/validation_run.py` (per-seed pretrains",
-        "resume from their checkpoints; `--semi-variants` adds A/B arms).",
-    ]
-    Path(report_path).write_text("\n".join(lines) + "\n")
+    if not append:
+        lines += [
+            "",
+            "Rerun with `python tools/validation_run.py` (per-seed pretrains",
+            "resume from their checkpoints; `--semi-variants` adds A/B arms;",
+            "`--head saqe --report-append` adds the SAQE section).",
+        ]
+    text = "\n".join(lines) + "\n"
+    if append:
+        with open(report_path, "a") as f:
+            f.write(text)
+    else:
+        Path(report_path).write_text(text)
 
 
 def main():
@@ -317,6 +334,9 @@ def main():
     p.add_argument("--report", default="PARITY_RESULTS.md",
                    help="markdown report path (relative to repo root); "
                         "pass '' to skip")
+    p.add_argument("--report-append", action="store_true",
+                   help="append a section (e.g. the SAQE study) instead of "
+                        "rewriting the report")
     p.add_argument("--json-out", default=None)
     p.add_argument("--semi-overrides", nargs="*", default=[],
                    help="extra cfg overrides applied to every semi arm")
@@ -331,6 +351,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from nesie_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from nesie_tpu.data.synthetic import write_synthetic_scannet
 
@@ -357,7 +380,8 @@ def main():
     elapsed = (time.time() - t_start) / 60
     if args.report:
         report = Path(__file__).resolve().parent.parent / args.report
-        write_report(args, per_seed, variants, report, elapsed)
+        write_report(args, per_seed, variants, report, elapsed,
+                     append=args.report_append)
         print(f"report written to {report}")
     print(json.dumps(per_seed, indent=2))
 
