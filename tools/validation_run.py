@@ -147,7 +147,7 @@ def run_seed(args, root, seed, variants):
         f"optim.lr_milestones=({int(args.pretrain_epochs*0.7)},"
         f"{int(args.pretrain_epochs*0.9)})",
         "data.samples_per_step=4",
-        "data.repeat=10",
+        f"data.repeat={args.pretrain_repeat}",
         # checkpoint once at the end so reruns skip the pretrain
         f"checkpoint_interval_epochs={args.pretrain_epochs}",
     ])
@@ -178,7 +178,7 @@ def run_seed(args, root, seed, variants):
             f"{int(args.semi_epochs*0.9)})",
             "optim.lr=0.004",
             "data.samples_per_step=2",
-            "data.repeat=10",
+            f"data.repeat={args.semi_repeat}",
             "checkpoint_interval_epochs=1000",  # semi variants retrain
         ] + args.semi_overrides + vover)
         scfg = dataclasses.replace(
@@ -320,6 +320,11 @@ def main():
                    help="min,max objects per scene")
     p.add_argument("--pretrain-epochs", type=int, default=14)
     p.add_argument("--semi-epochs", type=int, default=12)
+    p.add_argument("--pretrain-repeat", type=int, default=10,
+                   help="RepeatDataset factor for the pretrain phase")
+    p.add_argument("--semi-repeat", type=int, default=10,
+                   help="RepeatDataset factor for the semi phase (labeled "
+                        "stream; steps/epoch = n_labeled*repeat/batch)")
     p.add_argument("--seeds", default="0",
                    help="comma list; the study runs the full pipeline per "
                         "seed and reports mean±std")
