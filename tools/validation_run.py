@@ -126,7 +126,8 @@ def run_seed(args, root, seed, variants):
     from nesie_tpu.train import runner
 
     prefix = "saqe" if args.head == "saqe" else "nesie"
-    model_over = [f"model.{k}={v}" for k, v in MID_MODEL.items()]
+    model_over = ([f"model.{k}={v}" for k, v in MID_MODEL.items()]
+                  + args.model_overrides)
     common_over = [f"data.num_points={args.num_points}", "log_interval=20"]
     out = Path(args.out)
 
@@ -343,6 +344,11 @@ def main():
                    help="append a section (e.g. the SAQE study) instead of "
                         "rewriting the report")
     p.add_argument("--json-out", default=None)
+    p.add_argument("--model-overrides", nargs="*", default=[],
+                   help="extra model.* overrides applied to BOTH phases "
+                        "(e.g. model.num_proposal=32 — proposal count "
+                        "dominates CPU step time via the rotated-IoU/"
+                        "surface loss terms)")
     p.add_argument("--semi-overrides", nargs="*", default=[],
                    help="extra cfg overrides applied to every semi arm")
     p.add_argument("--semi-variants", nargs="*", default=["default="],
