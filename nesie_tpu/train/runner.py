@@ -209,10 +209,16 @@ def weights_only_load(fresh_state, loaded_state):
     of the loaded student — the reference's SimiTeacherHook registers ema
     buffers from the live parameters (simi_teacher_hook.py:47-52); its
     pretrain checkpoints carry no EMA at all. (Resume restores the trained
-    teacher instead.)"""
+    teacher instead.)
+
+    Every leaf is deep-copied: the jitted train steps DONATE their state
+    buffers, so handing ``loaded_state``'s arrays over directly would let
+    the first training phase delete them out from under any later use of
+    the loaded state (e.g. a second semi arm reusing one pretrain in
+    tools/validation_run.py)."""
     return fresh_state._replace(
-        params=loaded_state.params,
-        batch_stats=loaded_state.batch_stats,
+        params=jax.tree.map(jnp.copy, loaded_state.params),
+        batch_stats=jax.tree.map(jnp.copy, loaded_state.batch_stats),
         ema_params=jax.tree.map(jnp.copy, loaded_state.params),
         ema_batch_stats=jax.tree.map(jnp.copy, loaded_state.batch_stats),
     )
