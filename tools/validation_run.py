@@ -134,15 +134,16 @@ def run_seed(args, root, seed, variants):
     # per-seed RANDOM labeled split (the reference protocol's "3 random
     # splits", BASELINE.md) — seed 0 keeps the canonical prefix split so
     # single-seed runs stay comparable with earlier rounds
+    frac = {"005": "0.05", "010": "0.1", "020": "0.2", "050": "0.5"}[args.split]
     if seed != 0:
         names = (root / "meta_data" / "scannetv2_train_all.txt").read_text().split()
-        k = len((root / "meta_data" / "scannetv2_train_0.1.txt").read_text().split())
+        k = len((root / "meta_data" / f"scannetv2_train_{frac}.txt").read_text().split())
         picked = np.random.default_rng(1000 + seed).permutation(names)[:k]
-        split_file = f"meta_data/scannetv2_train_0.1_s{seed}.txt"
+        split_file = f"meta_data/scannetv2_train_{frac}_s{seed}.txt"
         (root / split_file).write_text("\n".join(sorted(picked)) + "\n")
         common_over = common_over + [f"data.label_list_file={split_file}"]
 
-    pcfg = get_config(f"{prefix}-votenet-scannet-pretrain-010")
+    pcfg = get_config(f"{prefix}-votenet-scannet-pretrain-{args.split}")
     pcfg = apply_overrides(pcfg, model_over + common_over + [
         f"optim.max_epochs={args.pretrain_epochs}",
         f"optim.lr_milestones=({int(args.pretrain_epochs*0.7)},"
@@ -172,7 +173,7 @@ def run_seed(args, root, seed, variants):
 
     results = {"pretrain": pre_map, "variants": {}}
     for vname, vover in variants:
-        scfg = get_config(f"{prefix}-votenet-scannet-train-010")
+        scfg = get_config(f"{prefix}-votenet-scannet-train-{args.split}")
         scfg = apply_overrides(scfg, model_over + common_over + [
             f"optim.max_epochs={args.semi_epochs}",
             f"optim.lr_milestones=({int(args.semi_epochs*0.7)},"
@@ -330,6 +331,13 @@ def main():
                    help="comma list; the study runs the full pipeline per "
                         "seed and reports mean±std")
     p.add_argument("--head", default="nesie", choices=["nesie", "saqe"])
+    p.add_argument("--split", default="010",
+                   choices=["005", "010", "020", "050"],
+                   help="labeled split (reference config family suffix); "
+                        "the semi mechanism only engages once the pretrain "
+                        "generalizes well enough to emit precise pseudo-"
+                        "labels, which on small synthetic regimes needs "
+                        "the larger splits")
     p.add_argument("--ema-scale-ref", action="store_true", default=True)
     p.add_argument("--no-ema-scale-ref", dest="ema_scale_ref",
                    action="store_false",
