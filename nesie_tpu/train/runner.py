@@ -321,14 +321,22 @@ def train_supervised(cfg: ExperimentConfig, dataset: SubScanNetScenes,
 
 def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
                load_state=None, resume: bool = False,
-               epoch_callback=None):
+               epoch_callback=None, run_stats: dict | None = None):
     """Semi-supervised loop (reference SimiEpochBasedRunner +
     VoteNetNesie.forward_train), data-parallel over a 1-D device mesh.
 
     Global batch layout is [labeled x bs_global; unlabeled x ratio*bs_global]
     sharded on the leading axis; each process loads its contiguous row
     slice of it (labeled rows come from the shared scene order, unlabeled
-    rows are process-local random draws)."""
+    rows are process-local random draws).
+
+    ``run_stats`` (optional dict) is filled with per-epoch pseudo-label
+    production: ``num_pseudo_per_step`` (one mean per epoch) and the overall
+    ``num_pseudo_mean``. A whole epoch with ZERO accepted pseudo-labels
+    means the teacher-student mechanism silently degenerated to
+    labeled-only training (the reference has no guard for this either —
+    its thresholds assume a fully-trained pretrain); the runner logs a
+    WARNING so it is visible in the logs and in studies."""
     from nesie_tpu.utils import MetricsLogger, collect_env
 
     mesh = make_mesh(cfg.num_devices)
@@ -392,23 +400,43 @@ def train_semi(cfg: ExperimentConfig, dataset: SimiScanNetScenes,
             yield shard_host_batch(batch, mesh)
 
     start_epoch = int(state.step) // steps_per_epoch
+    pseudo_means = [] if run_stats is None else run_stats.setdefault(
+        "num_pseudo_per_step", [])
     for epoch in range(start_epoch, cfg.optim.max_epochs):
         order = np.concatenate(
             [order_rng.permutation(n) for _ in range(cfg.data.repeat)]
         )
+        # device-side accumulator: no per-step host sync, one pull per epoch
+        ep_pseudo, ep_steps = jnp.zeros(()), 0
         for it, batch in enumerate(Prefetcher(epoch_batches(order))):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             state, ulb_state, metrics = step_fn(state, ulb_state, batch, sub)
+            ep_pseudo = ep_pseudo + metrics["num_pseudo"]
+            ep_steps += 1
             if it % cfg.log_interval == 0:
                 jax.block_until_ready(metrics["loss"])
                 _log_metrics(int(state.step), epoch, metrics,
                              time.perf_counter() - t0)
                 mlog.log(int(state.step), metrics)
+        total_pseudo = float(ep_pseudo)
+        mean_pseudo = total_pseudo / max(ep_steps, 1)
+        pseudo_means.append(mean_pseudo)
+        mlog.log(int(state.step), {"epoch_num_pseudo_mean": mean_pseudo})
+        if total_pseudo == 0.0 and jax.process_index() == 0:
+            log.warning(
+                "epoch %d produced ZERO pseudo-labels across %d steps — the "
+                "semi-supervised loop is training labeled-only (teacher not "
+                "confident enough for the pseudo.* thresholds; see "
+                "CLAUDE.md / PARITY_RESULTS.md on threshold regimes)",
+                epoch, ep_steps,
+            )
         if (epoch + 1) % cfg.checkpoint_interval_epochs == 0:
             ckpt.save(int(state.step), state, ulb_state,
                       meta={"mesh_size": mesh.size})
         if epoch_callback is not None:
             epoch_callback(epoch, state)
+    if run_stats is not None and pseudo_means:
+        run_stats["num_pseudo_mean"] = float(np.mean(pseudo_means))
     mlog.close()
     return state

@@ -201,16 +201,24 @@ def run_seed(args, root, seed, variants):
         fresh, _ = runner.init_state(scfg, model, steps_per_epoch=1)
         load_state = runner.weights_only_load(fresh, pre_state)
         t0 = time.time()
-        semi_state = runner.train_semi(scfg, semi_ds, load_state)
-        logging.info("[seed %d/%s] semi took %.1f min", seed, vname,
-                     (time.time() - t0) / 60)
+        stats = {}
+        semi_state = runner.train_semi(scfg, semi_ds, load_state,
+                                       run_stats=stats)
+        logging.info("[seed %d/%s] semi took %.1f min (pseudo/step %s)",
+                     seed, vname, (time.time() - t0) / 60,
+                     [f"{x:.1f}" for x in
+                      stats.get("num_pseudo_per_step", [])])
 
         student = eval_mAP(scfg, model, semi_state, val_ds, args.num_points)
         teacher = eval_mAP(scfg, model, semi_state, val_ds, args.num_points,
                            use_teacher=True)
         logging.info("[seed %d/%s] student %s", seed, vname, student)
         logging.info("[seed %d/%s] teacher %s", seed, vname, teacher)
-        results["variants"][vname] = {"student": student, "teacher": teacher}
+        results["variants"][vname] = {
+            "student": student, "teacher": teacher,
+            "num_pseudo_per_step": stats.get("num_pseudo_per_step", []),
+            "num_pseudo_mean": stats.get("num_pseudo_mean", 0.0),
+        }
     return results
 
 
@@ -245,10 +253,14 @@ def write_report(args, per_seed, variants, report_path, elapsed_min,
             "it (the teacher is the reference workflow's deliverable model).",
             "",
         ]
+    frac_pct = {"005": "5%", "010": "10%", "020": "20%",
+                "050": "50%"}[args.split]
+    over = " ".join(args.model_overrides) or "none"
     lines += [
-        f"Setup: {args.n_train} train scenes (10% labeled split), "
+        f"Setup: {args.n_train} train scenes ({frac_pct} labeled split), "
         f"{args.n_val} held-out val scenes, {args.num_points} points/scene, "
-        f"{args.data_classes} object classes, mid-size model, pretrain "
+        f"{args.data_classes} object classes, mid-size model (overrides: "
+        f"{over}), pretrain "
         f"{args.pretrain_epochs} ep + semi {args.semi_epochs} ep, seeds "
         f"{sorted(per_seed)}, ema_scale_ref={args.ema_scale_ref}, head "
         f"{args.head}, platform {jax.devices()[0].platform}.",
@@ -265,7 +277,8 @@ def write_report(args, per_seed, variants, report_path, elapsed_min,
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
         return _agg(vals[key])[0]
 
-    pre_mean = row("pretrain (labeled 10% only)", lambda r: r["pretrain"])
+    pre_mean = row(f"pretrain (labeled {frac_pct} only)",
+                   lambda r: r["pretrain"])
     gates = []
     for vname, _ in variants:
         s_mean = row(f"semi student [{vname}]",
@@ -274,16 +287,19 @@ def write_report(args, per_seed, variants, report_path, elapsed_min,
                      lambda r, v=vname: r["variants"][v]["teacher"])
         if vname == "default":
             gates = [("student > pretrain", s_mean > pre_mean),
-                     ("teacher >= pretrain", t_mean >= pre_mean * 0.98)]
+                     ("teacher >= 0.98*pretrain", t_mean >= pre_mean * 0.98)]
 
-    lines += ["", "Per-seed mAP@0.25:", ""]
+    lines += ["", "Per-seed mAP@0.25 (and mean accepted pseudo-labels/step):",
+              ""]
     for s in sorted(per_seed):
         r = per_seed[s]
         parts = [f"pretrain {r['pretrain'][key]:.4f}"]
         for vname, _ in variants:
             v = r["variants"][vname]
+            ps = v.get("num_pseudo_mean")
+            ps_txt = f", {ps:.1f} pseudo/step" if ps is not None else ""
             parts.append(f"{vname}: student {v['student'][key]:.4f} / "
-                         f"teacher {v['teacher'][key]:.4f}")
+                         f"teacher {v['teacher'][key]:.4f}{ps_txt}")
         lines.append(f"* seed {s}: " + "; ".join(parts))
 
     lines += ["", f"Wall clock: {elapsed_min:.1f} min total.", ""]
@@ -390,11 +406,16 @@ def main():
 
     variants = parse_variants(args.semi_variants)
     seeds = [int(s) for s in args.seeds.split(",")]
-    per_seed = {}
+    # the JSON payload carries the args so report writers can derive the
+    # setup description instead of hardcoding it (studies/write_parity_report)
+    payload = {"args": {k: v for k, v in vars(args).items()
+                        if isinstance(v, (int, float, str, bool, list))},
+               "per_seed": {}}
+    per_seed = payload["per_seed"]
     for seed in seeds:
         per_seed[seed] = run_seed(args, root, seed, variants)
         if args.json_out:
-            Path(args.json_out).write_text(json.dumps(per_seed, indent=2))
+            Path(args.json_out).write_text(json.dumps(payload, indent=2))
 
     elapsed = (time.time() - t_start) / 60
     if args.report:
