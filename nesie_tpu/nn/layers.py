@@ -14,7 +14,15 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def clip_sigmoid(x, eps: float = 1e-4):
+    """Sigmoid clamped to [eps, 1-eps] (reference
+    mmdet3d/models/utils/clip_sigmoid.py:1-16) — keeps the focal-loss
+    ``log`` terms of heatmap heads finite at saturation."""
+    return jnp.clip(jax.nn.sigmoid(x), eps, 1.0 - eps)
 
 
 class PointMLP(nn.Module):
@@ -67,6 +75,23 @@ class PointMLP(nn.Module):
         if self.dtype is not None:
             x = x.astype(jnp.float32)  # hand f32 back to the caller
         return x
+
+
+class MLP(nn.Module):
+    """Per-point feature MLP (reference mmdet3d/models/utils/mlp.py:1-50).
+
+    The reference stacks 1x1 Conv1d + BN1d + ReLU over (B, C, N) with an
+    explicit ``bias=True`` on every conv (unlike ConvModule's ``'auto'``);
+    here each layer is a Dense over channels-last (B, N, C) input, which
+    is the same matmul in MXU-friendly layout.
+    """
+
+    conv_channels: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return PointMLP(self.conv_channels, final_activation=True,
+                        norm="bn", bias=True, name="mlp")(x, train=train)
 
 
 class SyncBatchNorm(nn.BatchNorm):

@@ -121,11 +121,13 @@ def setup_line(args, per_seed):
         return "Setup: (args not recorded in study JSON — legacy run)."
     pct = FRAC_PCT.get(args.get("split", "010"), args.get("split"))
     over = " ".join(args.get("model_overrides", [])) or "none"
+    semi_over = " ".join(args.get("semi_overrides", [])) or "none"
     return (f"Setup: {args.get('n_train')} train scenes ({pct} labeled, "
             f"random split per seed), {args.get('n_val')} held-out val "
             f"scenes, {args.get('num_points')} points/scene, "
             f"{args.get('data_classes')} object classes, mid-size model "
-            f"(overrides: {over}), pretrain {args.get('pretrain_epochs')} ep "
+            f"(overrides: {over}; semi overrides: {semi_over}), "
+            f"pretrain {args.get('pretrain_epochs')} ep "
             f"+ semi {args.get('semi_epochs')} ep, seeds "
             f"{sorted(per_seed)}, ema_scale_ref="
             f"{args.get('ema_scale_ref')}, platform cpu.")

@@ -375,3 +375,59 @@ def test_intersection_and_union(ref_model_utils):
     m = seg_eval([output], [target], K)
     assert 0.0 < m["mIoU"] <= 1.0
     assert m["allAcc"] == pytest.approx(i.sum() / t.sum())
+
+
+# ----------------------------------------------- MLP / clip_sigmoid tail
+def test_clip_sigmoid_matches_reference():
+    refshim.install_shims()
+    mod = load_ref("mmdet3d/models/utils/clip_sigmoid.py", "ref_clip_sigmoid")
+    from nesie_tpu.nn.layers import clip_sigmoid
+
+    x = np.linspace(-20, 20, 101, dtype=np.float32)
+    ref = mod.clip_sigmoid(torch.from_numpy(x.copy())).numpy()
+    np.testing.assert_allclose(np.asarray(clip_sigmoid(x)), ref, atol=1e-7)
+    # the clamp must bite at saturation (that's the helper's entire job)
+    assert np.asarray(clip_sigmoid(x)).min() == pytest.approx(1e-4)
+    assert np.asarray(clip_sigmoid(x)).max() == pytest.approx(1 - 1e-4)
+
+
+def test_mlp_matches_reference():
+    refshim.install_shims()
+    mod = load_ref("mmdet3d/models/utils/mlp.py", "ref_mlp")
+    import jax.numpy as jnp
+
+    from nesie_tpu.nn.layers import MLP
+
+    torch.manual_seed(0)
+    ref = mod.MLP(in_channel=18, conv_channels=(32, 16))
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, stats = {}, {}
+    for i in range(2):
+        params[f"dense{i}"] = {
+            "kernel": sd[f"mlp.layer{i}.conv.weight"][:, :, 0].T,
+            "bias": sd[f"mlp.layer{i}.conv.bias"],
+        }
+        params[f"norm{i}"] = {"scale": sd[f"mlp.layer{i}.bn.weight"],
+                              "bias": sd[f"mlp.layer{i}.bn.bias"]}
+        stats[f"norm{i}"] = {"mean": sd[f"mlp.layer{i}.bn.running_mean"],
+                             "var": sd[f"mlp.layer{i}.bn.running_var"]}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 18, 40)).astype(np.float32)  # (B, C, N)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()  # (B, 16, N)
+
+    got = MLP(conv_channels=(32, 16)).apply(
+        {"params": {"mlp": params}, "batch_stats": {"mlp": stats}},
+        jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               atol=2e-5)

@@ -256,11 +256,12 @@ def write_report(args, per_seed, variants, report_path, elapsed_min,
     frac_pct = {"005": "5%", "010": "10%", "020": "20%",
                 "050": "50%"}[args.split]
     over = " ".join(args.model_overrides) or "none"
+    semi_over = " ".join(args.semi_overrides) or "none"
     lines += [
         f"Setup: {args.n_train} train scenes ({frac_pct} labeled split), "
         f"{args.n_val} held-out val scenes, {args.num_points} points/scene, "
         f"{args.data_classes} object classes, mid-size model (overrides: "
-        f"{over}), pretrain "
+        f"{over}; semi overrides: {semi_over}), pretrain "
         f"{args.pretrain_epochs} ep + semi {args.semi_epochs} ep, seeds "
         f"{sorted(per_seed)}, ema_scale_ref={args.ema_scale_ref}, head "
         f"{args.head}, platform {jax.devices()[0].platform}.",
