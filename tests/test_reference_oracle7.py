@@ -431,3 +431,108 @@ def test_mlp_matches_reference():
         jnp.asarray(x.transpose(0, 2, 1)), train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
                                atol=2e-5)
+
+
+# ------------------------------------- ScanNet instance-seg benchmark
+@pytest.fixture(scope="module")
+def ref_inst_eval():
+    refshim.install_shims()
+    # the reference file predates numpy 1.24's alias removal; only add
+    # the aliases this numpy actually lacks (np.bool is real in numpy 2)
+    added = []
+    for alias, real in (("float", float), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, real)
+            added.append(alias)
+    load_ref("mmdet3d/models/utils/utils_3d.py",
+             "mmdet3d.models.utils.utils_3d")
+    load_ref("mmdet3d/models/utils/utils.py", "mmdet3d.models.utils.utils")
+    yield load_ref("mmdet3d/models/utils/eval.py", "ref_inst_eval")
+    for alias in added:
+        delattr(np, alias)
+
+
+def _make_scene(rng, n_verts, classes):
+    """GT ids (label*1000+idx, groups <1000, 0 unannotated) + predictions
+    exercising every benchmark rule: small GTs, groups, void, duplicate
+    preds on one GT, tiny preds, invalid-class preds."""
+    gt = np.zeros(n_verts, np.int64)
+    pos = 0
+    instances = []
+    for k, cls in enumerate(classes):
+        size = int(rng.integers(120, 400))
+        gt[pos:pos + size] = cls * 1000 + k + 1
+        instances.append((cls, pos, size))
+        pos += size
+    # a small (sub-min-region) GT of the first class
+    small_cls = classes[0]
+    gt[pos:pos + 60] = small_cls * 1000 + 900
+    small_span = (pos, 60)
+    pos += 60
+    # a group instance (id < 1000)
+    gt[pos:pos + 150] = 400
+    group_span = (pos, 150)
+    pos += 150
+    # the rest stays 0 (unannotated -> void)
+
+    preds, labels, confs = [], [], []
+
+    def add_pred(span, label, conf, jitter=0):
+        m = np.zeros(n_verts, np.int64)
+        s, ln = span
+        m[max(0, s - jitter):s + ln - jitter] = 1
+        preds.append(m)
+        labels.append(label)
+        confs.append(conf)
+
+    for i, (cls, s, ln) in enumerate(instances):
+        add_pred((s, ln), cls, float(rng.uniform(0.3, 0.95)))
+        if i == 0:  # duplicate prediction on the same GT, lower score
+            add_pred((s, ln), cls, 0.05, jitter=10)
+    # pred mostly over the small GT (ignore path)
+    add_pred((small_span[0], small_span[1] + 50), small_cls, 0.5)
+    # pred mostly over the group / void (ignore path)
+    add_pred((group_span[0], group_span[1] + 30), classes[0], 0.6)
+    # pure-void false positive
+    add_pred((n_verts - 200, 180), classes[1], 0.7)
+    # tiny pred (< min region) — must be skipped
+    add_pred((0, 50), classes[0], 0.9)
+    # invalid class id — must be skipped
+    add_pred((instances[0][1], instances[0][2]), 2, 0.8)
+    return gt, dict(mask=np.stack(preds), label_id=np.asarray(labels),
+                    conf=np.asarray(confs, np.float64))
+
+
+def test_scannet_instance_benchmark_matches_reference(ref_inst_eval,
+                                                      tmp_path):
+    from nesie_tpu.eval.instance_seg import scannet_instance_benchmark
+
+    rng = np.random.default_rng(11)
+    scenes = [_make_scene(rng, 4000, [3, 5, 8]),
+              _make_scene(rng, 3000, [5, 9])]
+    # scene 2: drop the first class's matching pred so one GT is a hard FN
+    gt2, info2 = scenes[1]
+    keep = np.ones(len(info2["label_id"]), bool)
+    keep[0] = False
+    scenes[1] = (gt2, {k: v[keep] for k, v in info2.items()})
+
+    matches = {}
+    for i, (gt_ids, info) in enumerate(scenes):
+        f = tmp_path / f"scene{i}.txt"
+        f.write_text("\n".join(str(x) for x in gt_ids))
+        gt2pred, pred2gt = ref_inst_eval.assign_instances_for_scan(
+            f"scene{i}", info, str(f))
+        matches[f"scene{i}"] = {"gt": gt2pred, "pred": pred2gt}
+    ap = ref_inst_eval.evaluate_matches(matches)
+    want = ref_inst_eval.compute_averages(ap)
+
+    got = scannet_instance_benchmark([s[0] for s in scenes],
+                                     [s[1] for s in scenes])
+
+    for k in ("all_ap", "all_ap_50%", "all_ap_25%"):
+        np.testing.assert_allclose(got[k], want[k], atol=1e-9, err_msg=k)
+    for name in got["classes"]:
+        for k in ("ap", "ap50%", "ap25%"):
+            np.testing.assert_allclose(
+                got["classes"][name][k], want["classes"][name][k],
+                atol=1e-9, equal_nan=True, err_msg=f"{name}/{k}")
