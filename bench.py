@@ -92,10 +92,13 @@ def main():
     from nesie_tpu.nn.detector import VoteNetNesie
 
     if jax.default_backend() == "tpu":
-        # VMEM-resident Pallas kernels: FPS (ops/pallas_fps.py, ~15% faster,
-        # output-identical) and the fused single-pass ball query
-        # (ops/pallas_ball_query.py, 2.5x at SA1 scale; neighbor sets can
-        # differ from the XLA path only for exact radius-boundary points)
+        # VMEM-resident Pallas kernels: FPS (ops/pallas_fps.py; r5
+        # 3-reduce body: 47.8 ms vs 75.3 standalone at B=32, eval step
+        # 278.6 -> 255.6 ms, output-identical) and the fused single-pass
+        # ball query (ops/pallas_ball_query.py, 2.5x at SA1 scale;
+        # neighbor sets can differ from the XLA path only for exact
+        # radius-boundary points). three_nn stays XLA — the pallas
+        # kernel wins standalone but loses fused (see set_three_nn_impl).
         pointops.set_fps_impl("pallas")
         pointops.set_ball_query_impl("pallas")
 

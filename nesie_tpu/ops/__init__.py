@@ -5,6 +5,7 @@ from .pointops import (
     furthest_point_sample_with_features,
     points_sampler,
     set_fps_impl,
+    set_three_nn_impl,
     ball_query,
     gather_points,
     group_points,
@@ -21,6 +22,7 @@ __all__ = [
     "points_sampler",
     "set_fps_impl",
     "set_ball_query_impl",
+    "set_three_nn_impl",
     "ball_query",
     "gather_points",
     "group_points",

@@ -4,12 +4,15 @@ Each grid cell computes distances for 128 queries against the whole
 (VMEM-resident) source set as one (128, N) block and runs the three
 min/argmin passes in registers — one HBM pass over the queries total.
 
-Status: measured 36.3 ms vs XLA's 36.7 ms at quality-grid scale
-(8 x 49152 queries vs 1024 sources) on v5e — XLA already fuses the
-three argmin passes well here, so this kernel is kept as a verified
-experiment, not wired into ops.three_nn. Both an 8-row-group and this
-128-row variant land at parity: the cost is reduce-latency over ~3k
-small grid cells, not HBM traffic.
+Status: reachable through ops.three_nn via ``set_three_nn_impl``
+('pallas'), OFF by default ('auto' = XLA). At B=8 quality-grid scale
+(8 x 49152 queries vs 1024 sources) it is at parity with XLA (36.3 vs
+36.7 ms on v5e) and at B=32 (81920 queries x 1024) it wins STANDALONE
+(61.7 ms vs 96.7 ms) — but wiring it into the model forward measured
+NET SLOWER (eval B=32: 266.0 vs 255.6 ms, tools/impl_ab.py r5): in
+context XLA fuses the distance-matrix production into the argmin
+consumers and the IDW weight math, so the standalone comparison
+overstates its cost. Kept as a verified opt-in.
 
 Semantics match ops.pointops.three_nn / the reference three_nn_cuda.cu
 best1/2/3 linear scan: euclidean distances ascending, first index wins

@@ -302,6 +302,39 @@ def group_points(data, idx):
 # Three-NN interpolation
 # ---------------------------------------------------------------------------
 
+_3NN_IMPL = "auto"  # "auto" | "xla" | "pallas" — trace-time switch
+
+
+def set_three_nn_impl(impl: str):
+    """Select the three_nn kernel ('xla' chunked argmin passes or the
+    VMEM-resident 'pallas' kernel). Takes effect at trace time; re-jit
+    after switching.
+
+    'auto' resolves to XLA on every backend: although the pallas kernel
+    wins STANDALONE at B=32 quality-grid scale (61.7 ms vs 96.7 ms for
+    81920 queries x 1024 sources on v5e), wiring it into the model is a
+    measured net LOSS — eval forward B=32 is 266.0 ms with it vs
+    255.6 ms with XLA (tools/impl_ab.py, r5 solo). In context XLA fuses
+    the (M, N) distance-matrix production into the argmin consumers and
+    the IDW weight math, so the standalone comparison overstates its
+    cost; the pallas path also pays a differentiable-dist recompute.
+    Kept as an opt-in for shapes where the fusion doesn't materialize.
+
+    The two paths agree except when two sources are (near-)equidistant
+    from a query: the pallas kernel uses the reference CUDA's exact
+    (a-b)^2 distance form (three_nn_cuda.cu best1/2/3 scan) while the
+    XLA path uses the matmul form, so float rounding can pick a
+    different (equally-near) neighbor.
+    """
+    global _3NN_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _3NN_IMPL = impl
+
+
+def _resolve_3nn_impl(impl: str) -> str:
+    return "xla" if impl == "auto" else impl
+
+
 def three_nn(query, source, valid_mask=None, chunk_target: int = 1024):
     """3 nearest source points per query, ascending by distance.
 
@@ -313,6 +346,25 @@ def three_nn(query, source, valid_mask=None, chunk_target: int = 1024):
     Returns:
         dist: (B, M, 3) float32; idx: (B, M, 3) int32.
     """
+    # the kernel holds a (128, N) f32 distance block per grid cell in
+    # VMEM — guard against sources large enough to blow the 16 MB limit
+    # (both model call sites use N <= 2048)
+    if (_resolve_3nn_impl(_3NN_IMPL) == "pallas" and valid_mask is None
+            and source.shape[1] <= 8192):
+        from .pallas_three_nn import three_nn_pallas
+
+        # pallas_call has no JVP rule — take the indices from the kernel
+        # with the gradient path cut, then recompute the distances in
+        # plain JAX (same exact (a-b)^2 + sqrt arithmetic as the kernel)
+        # so dist stays differentiable like the XLA path (iou_opt_test
+        # ascends through the interpolation weights).
+        _, idx = three_nn_pallas(
+            jax.lax.stop_gradient(query), jax.lax.stop_gradient(source)
+        )
+        sel = group_points(source, idx)  # (B, M, 3, 3)
+        d2 = jnp.sum((query[:, :, None, :] - sel) ** 2, axis=-1)
+        return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
+
     B, N, _ = source.shape
     M = query.shape[1]
     chunk = _pick_chunk(M, chunk_target)
