@@ -34,9 +34,11 @@ def load(name):
     if not p.exists():
         return {}, {}
     data = json.loads(p.read_text())
-    if "per_seed" in data:
-        return data.get("args", {}), data["per_seed"]
-    return {}, data  # legacy bare format
+    per_seed = data["per_seed"] if "per_seed" in data else data
+    # JSON object keys are strings; normalize so seeds sort and render
+    # numerically ("seeds [0, 1, 2]", and '10' after '2')
+    per_seed = {int(k): v for k, v in per_seed.items()}
+    return data.get("args", {}) if "per_seed" in data else {}, per_seed
 
 
 def merge(*studies):
