@@ -18,13 +18,13 @@ Documented deviations from the reference (see REFERENCE_QUIRKS.md):
     ``count[c] / max(...)``).
 
 The literal mode is the default for two reasons: it reproduces the
-reference's shipped training behavior, and a controlled A/B on the
-synthetic validation pipeline (identical seed/thresholds/epochs, only
-this flag differing) scored it distinctly higher — semi student
-mAP@0.25 0.0991 (literal) vs 0.0363 (intended), with near-identical
-pseudo-label counts (~23/step both): the scrambled thresholds select a
-better subset, not more labels. See PARITY_AB_LITERAL.md /
-PARITY_AB_CONTROL.md and REFERENCE_QUIRKS.md item 1.
+reference's shipped training behavior, and a 3-seed controlled A/B on
+the synthetic validation pipeline (per-seed random splits, only this
+flag differing) scored it higher on both deliverables — semi student
+mAP@0.25 0.1244 ± 0.0224 (literal) vs 0.1187 ± 0.0166 (intended),
+EMA teacher 0.1306 ± 0.0173 vs 0.1137 ± 0.0350 — and it was the only
+arm passing both acceptance gates. See PARITY_RESULTS.md /
+studies/study_A.json and REFERENCE_QUIRKS.md item 1.
 """
 from __future__ import annotations
 
